@@ -1,0 +1,70 @@
+"""Permeation: sound power transmitted *through* geometry to each target.
+
+Reference: Jobs/AudioPermeationJobBatched.cs. Per ray: find the first hit
+point of the primary ray; from an epsilon-offset of that point, integrate
+(chord length through each collider) x material.Density toward every
+audio target; the per-(batch, target) output is
+``ray_count * strength - total_loss``.
+
+Parity quirk (kept deliberately): the reference writes that value to
+``PermeationPowerRemains[batchId * T + target]`` inside the per-ray loop
+(cs:85), so within an accumulation batch every hitting ray OVERWRITES the
+slot — the surviving value belongs to the LAST ray in the batch whose
+primary ray hit anything; batches where no ray hits keep the reset value 0
+(cs:43-46). We reproduce that with a segment-max over hitting ray indices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops.trace import accum_batch_ids
+from audio_raytracer_tpu.types import Scene, TraceConfig
+
+Array = jnp.ndarray
+
+
+def permeation(origin: Array, directions: Array, scene: Scene,
+               cfg: TraceConfig) -> Array:
+    """[B, T] permeation power remains per (accum batch, target)."""
+    R = directions.shape[0]
+    T = scene.num_targets
+    B = cfg.num_accum_batches
+    if T == 0 or scene.num_primitives == 0:
+        return jnp.zeros((B, T), directions.dtype)
+
+    o = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
+    d = directions
+
+    # First hit of the primary ray (closest distance only; cs:101-141).
+    t_grid = intersect.scene_t_grid(o, d, scene)
+    t = jnp.min(t_grid, axis=-1)
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+
+    p = o + d * t_safe[..., None]
+    offset_point = p - d * cfg.epsilon  # cs:72
+
+    def per_target(target_pos, target_idx):
+        to_target = target_pos - offset_point  # [R, 3]
+        dist = jnp.linalg.norm(to_target, axis=-1)
+        direction = to_target / dist[..., None]
+        loss = intersect.permeation_loss(
+            offset_point, direction, scene, skip_target_id=target_idx)
+        return R * cfg.permeation_strength_per_ray - loss  # cs:260
+
+    values = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
+        scene.target_positions,
+        jnp.arange(T, dtype=jnp.int32))  # [R, T]
+
+    # Last-hitting-ray-in-batch selection (the overwrite quirk).
+    batch_ids = accum_batch_ids(R, B)
+    ray_idx = jnp.arange(R, dtype=jnp.int32)
+    marker = jnp.where(hit, ray_idx + 1, 0)  # 0 = "no hit"
+    last_plus1 = jax.ops.segment_max(marker, batch_ids, num_segments=B)
+    any_hit_in_batch = last_plus1 > 0
+    gather_idx = jnp.maximum(last_plus1 - 1, 0)
+    selected = values[gather_idx]  # [B, T]
+    return jnp.where(any_hit_in_batch[:, None], selected, 0.0)

@@ -1,0 +1,176 @@
+"""Multi-bounce trace: the main raytracer kernel as a fixed-depth masked scan.
+
+The reference's divergent per-ray ``while (isRayAlive)`` loop
+(Jobs/AudioRaytracerJobBatched.cs:61-215) becomes a ``lax.scan`` of
+``max_hits_per_ray`` bounce steps over the whole ray batch, with an alive
+mask instead of early exit — dead lanes produce zeros and must never
+corrupt accumulators. The per-bounce ordering replicates the reference:
+
+  1. closest hit over all primitives; a miss kills the ray immediately
+  2. advance origin, drain life by hit distance, increment bounce count
+  3. echo ray from epsilon-offset hit point back to the listener origin;
+     if unoccluded, record dist x material.Echo in slot (ray, bounce)
+  4. muffle ray from the offset hit point to each audio target within
+     MaxMuffleHitDistance, skipping the target's own colliders; visible
+     -> per-(accum-batch, target) hit counter += 1
+  5. kill if bounce count == max or life <= 0; otherwise reflect off the
+     face normal, offset along the new direction, drain life by
+     MaxRayLife * absorption, and kill if life went < 0
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.types import Scene, TraceConfig, TraceResult
+
+Array = jnp.ndarray
+
+
+def accum_batch_ids(ray_count: int, num_batches: int) -> jnp.ndarray:
+    """Per-ray accumulation-batch id, replicating the reference's thread
+    batch mapping: batchSize = ceil(rayCount / threads), and
+    batchId = rayStartIndex * batchCount / rayCount
+    (Audio/AudioRayTracer.cs:161, AudioRaytracerJobBatched.cs:63-64).
+    """
+    batch_size = -(-ray_count // num_batches)
+    r = jnp.arange(ray_count, dtype=jnp.int32)
+    ray_start = (r // batch_size) * batch_size
+    return (ray_start * num_batches) // ray_count
+
+
+def _muffle_visibility(offset_point: Array, scene: Scene, cfg: TraceConfig):
+    """[R, T] bool: target within MaxMuffleHitDistance and unoccluded
+    (skipping the target's own colliders)."""
+    tp = scene.target_positions  # [T, 3]
+
+    def per_target(target_pos, target_idx):
+        to_target = target_pos - offset_point  # [R, 3]
+        dist = jnp.linalg.norm(to_target, axis=-1)  # [R]
+        direction = to_target / dist[..., None]
+        occluded = intersect.any_hit_within(
+            offset_point, direction, dist, scene, skip_target_id=target_idx)
+        return (dist < cfg.max_muffle_hit_distance) & ~occluded
+
+    vis = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
+        tp, jnp.arange(tp.shape[0], dtype=jnp.int32))
+    return vis  # [R, T]
+
+
+def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
+          collect_debug: bool = False) -> TraceResult:
+    """Run the full multi-bounce trace.
+
+    origin: [3] listener/ray origin. directions: [R, 3].
+    Returns a TraceResult with echo [R, H], muffle_hits [B, T],
+    permeation [B, T] left zeroed (filled by ops.permeation).
+    """
+    R = directions.shape[0]
+    T = scene.num_targets
+    H = cfg.max_hits_per_ray
+    eps = cfg.epsilon
+
+    if scene.num_primitives == 0:
+        # Nothing to hit: every ray dies on bounce 0 with zero outputs.
+        dt = directions.dtype
+        result = TraceResult(
+            echo_distances=jnp.zeros((R, H), dt),
+            muffle_hits=jnp.zeros((cfg.num_accum_batches, T), jnp.int32),
+            permeation=jnp.zeros((cfg.num_accum_batches, T), dt),
+        )
+        if collect_debug:
+            result = TraceResult(
+                echo_distances=result.echo_distances,
+                muffle_hits=result.muffle_hits,
+                permeation=result.permeation,
+                hit_points=jnp.zeros((R, H, 3), dt),
+                hit_counts=jnp.zeros((R,), jnp.int32),
+            )
+        return result
+
+    uni = intersect.unified_arrays(scene)
+    batch_ids = accum_batch_ids(R, cfg.num_accum_batches)
+
+    def bounce(carry, step):
+        o, d, life, alive = carry
+
+        hit, t, idx = intersect.closest_hit(o, d, scene)
+        live_hit = alive & hit
+        # Guard t for dead/miss lanes so position math stays finite.
+        t_safe = jnp.where(live_hit, t, 0.0)
+
+        p = o + d * t_safe[..., None]
+        life = life - t_safe
+
+        offset_point = p - d * eps
+
+        # --- Echo ray back to the listener origin (cs:121-147) ---
+        to_origin = origin - offset_point
+        dist_to_origin = jnp.linalg.norm(origin - p, axis=-1)
+        ret_dir = to_origin / jnp.linalg.norm(to_origin, axis=-1, keepdims=True)
+        occluded = intersect.any_hit_within(
+            offset_point, ret_dir, dist_to_origin, scene)
+        echo_mat = uni["echo"][idx]
+        echo_val = jnp.where(live_hit & ~occluded,
+                             dist_to_origin * echo_mat, 0.0)
+
+        # --- Muffle rays to every audio target (cs:150-175) ---
+        if T > 0:
+            vis = _muffle_visibility(offset_point, scene, cfg)  # [R, T]
+            muffle_inc = vis & live_hit[..., None]
+        else:
+            muffle_inc = jnp.zeros((R, 0), bool)
+
+        # --- Termination + reflection (cs:179-193, 456-532) ---
+        bounces_done = step + 1
+        can_continue = live_hit & (bounces_done < H) & (life > 0.0)
+
+        normal = intersect.reflection_normal(
+            p, uni["kind"][idx], uni["center"][idx],
+            uni["half_extents"][idx], uni["inv_rot"][idx])
+        d_new = intersect.reflect(d, normal)
+        o_new = p + d_new * eps
+        life_new = life - cfg.max_ray_life * uni["absorption"][idx]
+        alive_next = can_continue & (life_new >= 0.0)
+
+        o = jnp.where(can_continue[..., None], o_new, p)
+        d = jnp.where(can_continue[..., None], d_new, d)
+        life = jnp.where(can_continue, life_new, life)
+
+        outputs = (echo_val, muffle_inc, live_hit, p)
+        return (o, d, life, alive_next), outputs
+
+    o0 = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
+    d0 = directions
+    life0 = jnp.full((R,), cfg.max_ray_life, directions.dtype)
+    alive0 = jnp.ones((R,), bool)
+
+    (_, _, _, _), (echo, muffle_inc, hit_mask, hit_points) = jax.lax.scan(
+        bounce, (o0, d0, life0, alive0), jnp.arange(H), length=H)
+
+    # scan stacks outputs on axis 0 = bounce slot; reorder to [R, H].
+    echo = jnp.moveaxis(echo, 0, 1)  # [R, H]
+    hit_mask = jnp.moveaxis(hit_mask, 0, 1)  # [R, H]
+
+    # Per-(accum batch, target) muffle counts (the per-thread-batch rows of
+    # AudioTargetManager.MuffleRayHits reduced over bounces and rays).
+    muffle_per_ray = jnp.sum(muffle_inc.astype(jnp.int32), axis=0)  # [R, T]
+    muffle_hits = jax.ops.segment_sum(
+        muffle_per_ray, batch_ids, num_segments=cfg.num_accum_batches)
+
+    result = TraceResult(
+        echo_distances=echo,
+        muffle_hits=muffle_hits,
+        permeation=jnp.zeros((cfg.num_accum_batches, T), directions.dtype),
+    )
+    if collect_debug:
+        result = TraceResult(
+            echo_distances=echo,
+            muffle_hits=muffle_hits,
+            permeation=result.permeation,
+            hit_points=jnp.moveaxis(hit_points, 0, 1),
+            hit_counts=jnp.sum(hit_mask.astype(jnp.int32), axis=-1),
+        )
+    return result

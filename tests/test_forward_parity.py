@@ -1,0 +1,150 @@
+"""End-to-end forward parity: jitted JAX pipeline vs the NumPy oracle.
+
+These are the allclose gates from BASELINE.md: intersections, echo
+accumulation, muffle counts, permeation-attenuated loudness, reverb
+energy — on random mixed scenes and on the enumerated BASELINE configs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_raytracer_tpu.models.raytracer import forward, random_scene
+from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+from audio_raytracer_tpu.types import TraceConfig
+from audio_raytracer_tpu.utils import oracle
+
+
+def run_both(scene, cfg, seed=0):
+    origin = jnp.zeros((3,), jnp.float32)
+    dirs = fibonacci_directions(cfg.ray_count)
+    result, settings = jax.jit(
+        lambda o, d, s: forward(o, d, s, cfg, collect_debug=True)
+    )(origin, dirs, scene)
+
+    osc = oracle.from_scene(scene)
+    otr = oracle.oracle_trace(
+        osc, np.zeros(3), np.asarray(dirs), cfg.max_hits_per_ray,
+        cfg.max_ray_life, cfg.max_muffle_hit_distance,
+        cfg.num_accum_batches)
+    operm = oracle.oracle_permeation(
+        osc, np.zeros(3), np.asarray(dirs), cfg.permeation_strength_per_ray,
+        cfg.num_accum_batches)
+    oproc = oracle.oracle_process(
+        otr["echo"], otr["muffle_hits"], operm, osc.target_positions,
+        cfg.ray_count, cfg.max_hits_per_ray, cfg.muffle_effectiveness,
+        cfg.permeation_strength_per_ray, cfg.permeation_effectiveness,
+        cfg.max_reverb_distance)
+    return result, settings, otr, operm, oproc
+
+
+def assert_parity(result, settings, otr, operm, oproc, echo_rtol=1e-4):
+    echo = np.asarray(result.echo_distances, np.float64)
+    # Bounce trajectories can diverge on razor-edge hits in f32 vs f64;
+    # demand near-total agreement rather than bitwise equality.
+    match = np.isclose(echo, otr["echo"], rtol=echo_rtol, atol=1e-3)
+    assert match.mean() > 0.995, f"echo mismatch rate {1 - match.mean():.4f}"
+
+    np.testing.assert_array_equal(
+        np.asarray(result.hit_counts), otr["hit_counts"])
+
+    muffle = np.asarray(result.muffle_hits)
+    assert np.abs(muffle - otr["muffle_hits"]).sum() <= max(
+        1, 0.002 * muffle.sum())
+
+    perm = np.asarray(result.permeation, np.float64)
+    np.testing.assert_allclose(perm, operm, rtol=1e-4, atol=1e-2)
+
+    np.testing.assert_allclose(np.asarray(settings.muffle),
+                               oproc["muffle"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(settings.reverb_strength),
+                               oproc["reverb_strength"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(settings.reverb_volume),
+                               oproc["reverb_volume"], rtol=1e-3, atol=1e-4)
+
+
+class TestForwardParity:
+    def test_spheres_only_direct_path(self):
+        # BASELINE config 1 (shrunk): sphere scene, single target, 1 bounce.
+        cfg = TraceConfig(ray_count=256, max_bounces=0, max_ray_life=200.0,
+                          max_muffle_hit_distance=250.0)
+        scene = random_scene(jax.random.key(1), num_spheres=16, num_aabbs=0,
+                             num_obbs=0, num_targets=1)
+        assert_parity(*run_both(scene, cfg))
+
+    def test_mixed_scene_multibounce(self):
+        # BASELINE config 2/3 (shrunk): mixed primitives, 4 bounces.
+        cfg = TraceConfig(ray_count=128, max_bounces=4, max_ray_life=150.0)
+        scene = random_scene(jax.random.key(2), num_spheres=6, num_aabbs=10,
+                             num_obbs=8, num_targets=2)
+        assert_parity(*run_both(scene, cfg))
+
+    def test_multi_batch_accumulators(self):
+        # Exercise the per-thread-batch accumulator rows + permeation
+        # overwrite quirk with 4 accumulation batches.
+        cfg = TraceConfig(ray_count=100, max_bounces=2, max_ray_life=150.0,
+                          num_accum_batches=4)
+        scene = random_scene(jax.random.key(3), num_spheres=5, num_aabbs=7,
+                             num_obbs=5, num_targets=3)
+        assert_parity(*run_both(scene, cfg))
+
+    def test_target_owned_colliders_skipped(self):
+        cfg = TraceConfig(ray_count=64, max_bounces=2, max_ray_life=150.0)
+        scene = random_scene(jax.random.key(4), num_spheres=4, num_aabbs=6,
+                             num_obbs=4, num_targets=2,
+                             target_owned_colliders=True)
+        assert_parity(*run_both(scene, cfg))
+
+    def test_absorption_drains_life(self):
+        # High absorption should terminate rays early; parity on hit counts
+        # verifies the life-drain bounce-termination path.
+        import dataclasses
+        cfg = TraceConfig(ray_count=64, max_bounces=6, max_ray_life=100.0)
+        scene = random_scene(jax.random.key(5), num_spheres=4, num_aabbs=8,
+                             num_obbs=4, num_targets=1)
+        # Crank absorption up.
+        new_mats = dataclasses.replace(
+            scene.aabbs.material,
+            absorption=jnp.full_like(scene.aabbs.material.absorption, 0.45))
+        scene = scene.replace(aabbs=dataclasses.replace(
+            scene.aabbs, material=new_mats))
+        result, settings, otr, operm, oproc = run_both(scene, cfg)
+        assert int(np.asarray(result.hit_counts).max()) < cfg.max_hits_per_ray
+        assert_parity(result, settings, otr, operm, oproc)
+
+    def test_empty_scene(self):
+        cfg = TraceConfig(ray_count=32, max_bounces=2)
+        scene = random_scene(jax.random.key(6), num_spheres=0, num_aabbs=0,
+                             num_obbs=0, num_targets=1)
+        result, settings, otr, operm, oproc = run_both(scene, cfg)
+        assert np.asarray(result.echo_distances).sum() == 0
+        assert np.asarray(result.hit_counts).sum() == 0
+        assert_parity(result, settings, otr, operm, oproc)
+
+
+class TestFibonacci:
+    def test_unit_norm_interior(self):
+        d = np.asarray(fibonacci_directions(500))
+        norms = np.linalg.norm(d, axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    def test_poles(self):
+        d = np.asarray(fibonacci_directions(100))
+        np.testing.assert_allclose(d[0], [0, 1, 0], atol=1e-6)
+        np.testing.assert_allclose(d[-1], [0, -1, 0], atol=1e-6)
+
+    def test_reference_formula(self):
+        n = 37
+        d = np.asarray(fibonacci_directions(n), np.float64)
+        phi = np.pi * (3 - np.sqrt(5))
+        for i in [0, 5, 17, 36]:
+            y = 1 - (i / (n - 1)) * 2
+            r = np.sqrt(max(1 - y * y, 0))
+            expect = [np.cos(phi * i) * r, y, np.sin(phi * i) * r]
+            np.testing.assert_allclose(d[i], expect, atol=1e-5)
+
+    def test_uniformity(self):
+        # Mean direction of a uniform sphere sampling ~ 0.
+        d = np.asarray(fibonacci_directions(2000))
+        assert np.abs(d.mean(axis=0)).max() < 0.01
