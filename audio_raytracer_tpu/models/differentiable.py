@@ -1,0 +1,217 @@
+"""Differentiable loudness model + gradient workload (BASELINE config 4).
+
+The reference forward is full of discrete events (closest-hit argmin,
+visibility booleans, ray-death thresholds) whose gradients are zero or
+undefined. This module defines the *differentiable extension*: the same
+trajectories (hard closest-hit and visibility — matching forward parity),
+but with accumulation weighted by a continuous per-ray energy so gradients
+flow to every material parameter:
+
+- energy: e_0 = 1, e_{k+1} = e_k * (1 - absorption_hit_k) — the smooth
+  counterpart of the reference's life drain
+  (AudioRaytracerJobBatched.cs:531), differentiable in absorption.
+- muffle loudness[t]   = sum_{r,k} e_k * visible(r,k,t) / (R*H)
+- reverb energy        = sum_{r,k} e_k * echo_dist(r,k) / (R*H*max_reverb)
+- permeation loudness[t] = mean_r (strength - chord_loss(r,t)) * perm_eff
+  — differentiable in density (chord length x density is linear).
+
+Gradients to source/listener poses flow through hit distances, echo
+distances, and chord lengths (piecewise-smooth a.e.). Discrete selections
+(which primitive, which visibility branch) are treated as constants of the
+trajectory — the straight-through convention; finite-difference checks in
+tests/test_gradients.py validate the continuous paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops.backend import DenseBackend
+from audio_raytracer_tpu.ops.trace import _muffle_visibility
+from audio_raytracer_tpu.types import Materials, Scene, TraceConfig
+from audio_raytracer_tpu.tree import pytree_dataclass
+
+Array = jnp.ndarray
+
+
+@pytree_dataclass
+class Loudness:
+    """Differentiable outputs of the acoustic field model."""
+
+    muffle: Array  # [T] energy-weighted visibility fraction
+    permeation: Array  # [T] mean transmitted power
+    reverb_energy: Array  # [] scalar
+
+
+@pytree_dataclass
+class SceneParams:
+    """The learnable parameter pytree: per-type materials.
+
+    (The learnable fields of AudioMaterialProperties.cs, lifted out of the
+    scene so optimizers and grads see exactly the trainable leaves.)
+    """
+
+    sphere: Materials
+    aabb: Materials
+    obb: Materials
+
+    @staticmethod
+    def from_scene(scene: Scene) -> "SceneParams":
+        return SceneParams(sphere=scene.spheres.material,
+                           aabb=scene.aabbs.material,
+                           obb=scene.obbs.material)
+
+    def into_scene(self, scene: Scene) -> Scene:
+        return dataclasses.replace(
+            scene,
+            spheres=dataclasses.replace(scene.spheres, material=self.sphere),
+            aabbs=dataclasses.replace(scene.aabbs, material=self.aabb),
+            obbs=dataclasses.replace(scene.obbs, material=self.obb),
+        )
+
+
+def loudness_map(origin: Array, directions: Array, scene: Scene,
+                 cfg: TraceConfig, backend=None,
+                 total_ray_count: int | None = None,
+                 axis_name: str | None = None) -> Loudness:
+    """Differentiable loudness field. With ``axis_name`` set, ray-axis
+    partial sums are psum-reduced (for shard_map'd training)."""
+    R = directions.shape[0]
+    R_total = total_ray_count if total_ray_count is not None else R
+    T = scene.num_targets
+    H = cfg.max_hits_per_ray
+    eps = cfg.epsilon
+    if backend is None:
+        backend = DenseBackend(scene)
+
+    def bounce(carry, step):
+        o, d, life, alive, energy = carry
+        hit, t, attrs = backend.closest_hit(o, d)
+        live_hit = alive & hit
+        t_safe = jnp.where(live_hit, t, 0.0)
+
+        p = o + d * t_safe[..., None]
+        life = life - jax.lax.stop_gradient(t_safe)
+        offset_point = p - d * eps
+
+        # Echo energy contribution.
+        dist_to_origin = intersect.safe_norm(origin - p)
+        ret_dir = (origin - offset_point)
+        ret_dir = intersect.safe_normalize(ret_dir)
+        echo_visible = ~backend.occluded(offset_point, ret_dir,
+                                         jax.lax.stop_gradient(dist_to_origin))
+        echo_contrib = jnp.where(live_hit & echo_visible,
+                                 energy * dist_to_origin * attrs["echo"], 0.0)
+
+        # Muffle energy contribution.
+        if T > 0:
+            vis = _muffle_visibility(offset_point, backend, scene, cfg)
+            muffle_contrib = jnp.where(vis & live_hit[..., None],
+                                       energy[..., None], 0.0)  # [R, T]
+        else:
+            muffle_contrib = jnp.zeros((R, 0), directions.dtype)
+
+        bounces_done = step + 1
+        can_continue = live_hit & (bounces_done < H) & (life > 0.0)
+
+        normal = intersect.reflection_normal(
+            p, attrs["kind"], attrs["center"], attrs["half_extents"],
+            attrs["inv_rot"])
+        d_new = intersect.reflect(d, normal)
+        o_new = p + d_new * eps
+        life_new = life - cfg.max_ray_life * jax.lax.stop_gradient(
+            attrs["absorption"])
+        alive_next = can_continue & (life_new >= 0.0)
+
+        energy_next = jnp.where(live_hit,
+                                energy * (1.0 - attrs["absorption"]), energy)
+
+        o = jnp.where(can_continue[..., None], o_new, p)
+        d = jnp.where(can_continue[..., None], d_new, d)
+        life = jnp.where(can_continue, life_new, life)
+        return ((o, d, life, alive_next, energy_next),
+                (echo_contrib, muffle_contrib))
+
+    o0 = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
+    life0 = jnp.full((R,), cfg.max_ray_life, directions.dtype)
+    alive0 = jnp.ones((R,), bool)
+    e0 = jnp.ones((R,), directions.dtype)
+
+    _, (echo_c, muffle_c) = jax.lax.scan(
+        bounce, (o0, directions, life0, alive0, e0), jnp.arange(H), length=H)
+
+    # Permeation (differentiable, per-ray mean — no overwrite quirk here).
+    t_first = backend.closest_t(o0, directions)
+    hit_first = jnp.isfinite(t_first)
+    t_sf = jnp.where(hit_first, t_first, 0.0)
+    p_first = o0 + directions * t_sf[..., None]
+    off = p_first - directions * eps
+
+    def per_target(target_pos, target_idx):
+        to_t = target_pos - off
+        dist = intersect.safe_norm(to_t)
+        dirn = to_t / dist[..., None]
+        loss = backend.permeation_loss(off, dirn, skip_target_id=target_idx)
+        val = cfg.permeation_strength_per_ray - loss / R_total
+        return jnp.where(hit_first, val, 0.0)
+
+    if T > 0:
+        perm_vals = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
+            scene.target_positions, jnp.arange(T, dtype=jnp.int32))  # [R, T]
+        perm_sum = jnp.sum(perm_vals, axis=0)
+    else:
+        perm_sum = jnp.zeros((0,), directions.dtype)
+
+    muffle_sum = jnp.sum(muffle_c, axis=(0, 1))  # [T]
+    echo_sum = jnp.sum(echo_c)
+
+    if axis_name is not None:
+        muffle_sum = jax.lax.psum(muffle_sum, axis_name)
+        echo_sum = jax.lax.psum(echo_sum, axis_name)
+        perm_sum = jax.lax.psum(perm_sum, axis_name)
+
+    return Loudness(
+        muffle=muffle_sum / (R_total * H),
+        permeation=perm_sum / R_total * cfg.permeation_effectiveness,
+        reverb_energy=echo_sum / (R_total * H * cfg.max_reverb_distance),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training: optimize materials to match a target loudness map
+# ---------------------------------------------------------------------------
+
+
+def loudness_loss(params: SceneParams, scene: Scene, origin, directions,
+                  cfg: TraceConfig, target: Loudness, backend_fn=None,
+                  axis_name=None, total_ray_count=None) -> Array:
+    """MSE between the predicted and target loudness maps."""
+    full_scene = params.into_scene(scene)
+    backend = backend_fn(full_scene) if backend_fn else None
+    pred = loudness_map(origin, directions, full_scene, cfg, backend=backend,
+                        axis_name=axis_name, total_ray_count=total_ray_count)
+    return (jnp.mean((pred.muffle - target.muffle) ** 2)
+            + jnp.mean((pred.permeation - target.permeation) ** 2)
+            + (pred.reverb_energy - target.reverb_energy) ** 2)
+
+
+def make_train_step(cfg: TraceConfig, optimizer=None):
+    """Jitted single-device training step (full backward)."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    @jax.jit
+    def train_step(params, opt_state, scene, origin, directions, target):
+        loss, grads = jax.value_and_grad(loudness_loss)(
+            params, scene, origin, directions, cfg, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, optimizer

@@ -35,6 +35,17 @@ Array = jnp.ndarray
 INF = jnp.inf
 
 
+def safe_norm(x: Array, axis=-1, keepdims=False, eps=1e-20) -> Array:
+    """L2 norm with a tiny epsilon under the sqrt so the VJP at ||x|| = 0
+    is 0 instead of NaN (masked dead lanes would otherwise poison every
+    gradient through the 0 * NaN backward of jnp.linalg.norm)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
+def safe_normalize(x: Array, eps=1e-20) -> Array:
+    return x / safe_norm(x, keepdims=True, eps=eps)
+
+
 # ---------------------------------------------------------------------------
 # Primitive t-grids: rays [R, 3] x prims [N, ...] -> t [R, N] (+inf = miss)
 # ---------------------------------------------------------------------------
@@ -45,7 +56,14 @@ def _aabb_slab(o, d, center, half_extents):
 
     Returns (t_near, t_far) each [R, N]; interval validity is the caller's
     concern (hit vs permeation differ on it).
+
+    Zero direction components are nudged to +/-1e-12 instead of producing
+    inf slopes: forward behavior is indistinguishable (t ~ 1e12 dominates
+    every min/max the same way inf does) and the backward pass stays
+    NaN-free (0-cotangent x inf = NaN would poison pose gradients for
+    axis-aligned rays, e.g. the Fibonacci poles).
     """
+    d = jnp.where(jnp.abs(d) < 1e-12, jnp.copysign(1e-12, d), d)
     inv_d = 1.0 / d
     t0 = (center - half_extents - o) * inv_d
     t1 = (center + half_extents - o) * inv_d
@@ -97,11 +115,14 @@ def sphere_t(o: Array, d: Array, center: Array, radius: Array,
     b = 2.0 * jnp.sum(oc * d[..., None, :], axis=-1)  # [R, N]
     c = jnp.sum(oc * oc, axis=-1) - radius * radius  # [R, N]
     disc = b * b - 4.0 * a * c
-    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where keeps the backward pass NaN-free: sqrt'(0) = inf would
+    # otherwise meet the zero cotangent of missed lanes as inf * 0 = NaN.
+    hit_disc = disc >= 0.0
+    sqrt_disc = jnp.sqrt(jnp.where(hit_disc, disc, 1.0))
     t0 = (-b - sqrt_disc) / (2.0 * a)
     t1 = (-b + sqrt_disc) / (2.0 * a)
     t = jnp.where(t0 >= 0.0, t0, jnp.where(t1 >= 0.0, t1, INF))
-    t = jnp.where(disc < 0.0, INF, t)
+    t = jnp.where(hit_disc, t, INF)
     if active is not None:
         t = jnp.where(active, t, INF)
     return t
@@ -189,11 +210,12 @@ def permeation_loss(o: Array, d: Array, scene: Scene,
     b = jnp.sum(oc * d_b, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - scene.spheres.radius ** 2
     disc = b * b - c
-    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit_disc = disc >= 0.0
+    sqrt_disc = jnp.sqrt(jnp.where(hit_disc, disc, 1.0))
     t_enter = -b - sqrt_disc
     t_exit = -b + sqrt_disc
     s_chord = jnp.maximum(0.0, t_exit - jnp.maximum(t_enter, 0.0))
-    s_valid = (disc >= 0.0) & (t_exit >= 0.0) & scene.spheres.active
+    s_valid = hit_disc & (t_exit >= 0.0) & scene.spheres.active
     s_loss = jnp.where(s_valid, s_chord, 0.0) * scene.spheres.material.density
 
     # AABBs (cs:265-288).
@@ -236,7 +258,6 @@ def unified_arrays(scene: Scene):
     sphere/aabb), absorption/echo/density [P], target_id [P].
     """
     ns, na, nb = scene.spheres.count, scene.aabbs.count, scene.obbs.count
-    dtype = scene.target_positions.dtype
 
     kind = jnp.concatenate([
         jnp.zeros((ns,), jnp.int32),
@@ -251,7 +272,7 @@ def unified_arrays(scene: Scene):
         scene.obbs.half_extents,
     ], axis=0)
     identity_q = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype), (ns + na, 4))
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], center.dtype), (ns + na, 4))
     inv_rot = jnp.concatenate([identity_q, scene.obbs.inv_rot], axis=0)
 
     def cat(field):
@@ -313,8 +334,7 @@ def reflection_normal(hit_point: Array, kind: Array, center: Array,
     behavior bit-for-concept so bounce trajectories match the reference.
     """
     # Sphere: radial normal (cs:516).
-    sphere_n = hit_point - center
-    sphere_n = sphere_n / jnp.linalg.norm(sphere_n, axis=-1, keepdims=True)
+    sphere_n = safe_normalize(hit_point - center)
 
     # AABB: closest-axis face normal (cs:465-482).
     aabb_n = _box_axis_normal(hit_point - center, half_extents)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops.backend import DenseBackend
 from audio_raytracer_tpu.ops.trace import accum_batch_ids
 from audio_raytracer_tpu.types import Scene, TraceConfig
 
@@ -27,20 +28,27 @@ Array = jnp.ndarray
 
 
 def permeation(origin: Array, directions: Array, scene: Scene,
-               cfg: TraceConfig) -> Array:
-    """[B, T] permeation power remains per (accum batch, target)."""
+               cfg: TraceConfig, backend=None,
+               total_ray_count: int | None = None) -> Array:
+    """[B, T] permeation power remains per (accum batch, target).
+
+    ``total_ray_count`` overrides the RayDirections.Length term of
+    cs:260 when ``directions`` is a shard of a larger global batch.
+    """
     R = directions.shape[0]
+    R_total = total_ray_count if total_ray_count is not None else R
     T = scene.num_targets
     B = cfg.num_accum_batches
-    if T == 0 or scene.num_primitives == 0:
+    if T == 0 or (backend is None and scene.num_primitives == 0):
         return jnp.zeros((B, T), directions.dtype)
+    if backend is None:
+        backend = DenseBackend(scene)
 
     o = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
     d = directions
 
     # First hit of the primary ray (closest distance only; cs:101-141).
-    t_grid = intersect.scene_t_grid(o, d, scene)
-    t = jnp.min(t_grid, axis=-1)
+    t = backend.closest_t(o, d)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
 
@@ -49,11 +57,11 @@ def permeation(origin: Array, directions: Array, scene: Scene,
 
     def per_target(target_pos, target_idx):
         to_target = target_pos - offset_point  # [R, 3]
-        dist = jnp.linalg.norm(to_target, axis=-1)
+        dist = intersect.safe_norm(to_target)
         direction = to_target / dist[..., None]
-        loss = intersect.permeation_loss(
-            offset_point, direction, scene, skip_target_id=target_idx)
-        return R * cfg.permeation_strength_per_ray - loss  # cs:260
+        loss = backend.permeation_loss(offset_point, direction,
+                                       skip_target_id=target_idx)
+        return R_total * cfg.permeation_strength_per_ray - loss  # cs:260
 
     values = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
         scene.target_positions,

@@ -16,6 +16,10 @@ corrupt accumulators. The per-bounce ordering replicates the reference:
   5. kill if bounce count == max or life <= 0; otherwise reflect off the
      face normal, offset along the new direction, drain life by
      MaxRayLife * absorption, and kill if life went < 0
+
+Intersection work goes through an ops.backend engine, so the same loop
+serves the dense jnp tier, the prim-sharded collective tier, and the
+Pallas kernel tier.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops.backend import DenseBackend
 from audio_raytracer_tpu.types import Scene, TraceConfig, TraceResult
 
 Array = jnp.ndarray
@@ -41,17 +46,18 @@ def accum_batch_ids(ray_count: int, num_batches: int) -> jnp.ndarray:
     return (ray_start * num_batches) // ray_count
 
 
-def _muffle_visibility(offset_point: Array, scene: Scene, cfg: TraceConfig):
+def _muffle_visibility(offset_point: Array, backend, scene: Scene,
+                       cfg: TraceConfig):
     """[R, T] bool: target within MaxMuffleHitDistance and unoccluded
     (skipping the target's own colliders)."""
     tp = scene.target_positions  # [T, 3]
 
     def per_target(target_pos, target_idx):
         to_target = target_pos - offset_point  # [R, 3]
-        dist = jnp.linalg.norm(to_target, axis=-1)  # [R]
+        dist = intersect.safe_norm(to_target)  # [R]
         direction = to_target / dist[..., None]
-        occluded = intersect.any_hit_within(
-            offset_point, direction, dist, scene, skip_target_id=target_idx)
+        occluded = backend.occluded(offset_point, direction, dist,
+                                    skip_target_id=target_idx)
         return (dist < cfg.max_muffle_hit_distance) & ~occluded
 
     vis = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
@@ -59,8 +65,26 @@ def _muffle_visibility(offset_point: Array, scene: Scene, cfg: TraceConfig):
     return vis  # [R, T]
 
 
+def _empty_result(R, T, H, cfg, dt, collect_debug):
+    result = TraceResult(
+        echo_distances=jnp.zeros((R, H), dt),
+        muffle_hits=jnp.zeros((cfg.num_accum_batches, T), jnp.int32),
+        permeation=jnp.zeros((cfg.num_accum_batches, T), dt),
+    )
+    if collect_debug:
+        result = TraceResult(
+            echo_distances=result.echo_distances,
+            muffle_hits=result.muffle_hits,
+            permeation=result.permeation,
+            hit_points=jnp.zeros((R, H, 3), dt),
+            hit_counts=jnp.zeros((R,), jnp.int32),
+        )
+    return result
+
+
 def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
-          collect_debug: bool = False) -> TraceResult:
+          collect_debug: bool = False, backend=None,
+          pvary_axes: tuple = ()) -> TraceResult:
     """Run the full multi-bounce trace.
 
     origin: [3] listener/ray origin. directions: [R, 3].
@@ -72,31 +96,17 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
     H = cfg.max_hits_per_ray
     eps = cfg.epsilon
 
-    if scene.num_primitives == 0:
-        # Nothing to hit: every ray dies on bounce 0 with zero outputs.
-        dt = directions.dtype
-        result = TraceResult(
-            echo_distances=jnp.zeros((R, H), dt),
-            muffle_hits=jnp.zeros((cfg.num_accum_batches, T), jnp.int32),
-            permeation=jnp.zeros((cfg.num_accum_batches, T), dt),
-        )
-        if collect_debug:
-            result = TraceResult(
-                echo_distances=result.echo_distances,
-                muffle_hits=result.muffle_hits,
-                permeation=result.permeation,
-                hit_points=jnp.zeros((R, H, 3), dt),
-                hit_counts=jnp.zeros((R,), jnp.int32),
-            )
-        return result
+    if backend is None:
+        if scene.num_primitives == 0:
+            return _empty_result(R, T, H, cfg, directions.dtype, collect_debug)
+        backend = DenseBackend(scene)
 
-    uni = intersect.unified_arrays(scene)
     batch_ids = accum_batch_ids(R, cfg.num_accum_batches)
 
     def bounce(carry, step):
         o, d, life, alive = carry
 
-        hit, t, idx = intersect.closest_hit(o, d, scene)
+        hit, t, attrs = backend.closest_hit(o, d)
         live_hit = alive & hit
         # Guard t for dead/miss lanes so position math stays finite.
         t_safe = jnp.where(live_hit, t, 0.0)
@@ -108,17 +118,15 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
 
         # --- Echo ray back to the listener origin (cs:121-147) ---
         to_origin = origin - offset_point
-        dist_to_origin = jnp.linalg.norm(origin - p, axis=-1)
-        ret_dir = to_origin / jnp.linalg.norm(to_origin, axis=-1, keepdims=True)
-        occluded = intersect.any_hit_within(
-            offset_point, ret_dir, dist_to_origin, scene)
-        echo_mat = uni["echo"][idx]
+        dist_to_origin = intersect.safe_norm(origin - p)
+        ret_dir = intersect.safe_normalize(to_origin)
+        occluded = backend.occluded(offset_point, ret_dir, dist_to_origin)
         echo_val = jnp.where(live_hit & ~occluded,
-                             dist_to_origin * echo_mat, 0.0)
+                             dist_to_origin * attrs["echo"], 0.0)
 
         # --- Muffle rays to every audio target (cs:150-175) ---
         if T > 0:
-            vis = _muffle_visibility(offset_point, scene, cfg)  # [R, T]
+            vis = _muffle_visibility(offset_point, backend, scene, cfg)
             muffle_inc = vis & live_hit[..., None]
         else:
             muffle_inc = jnp.zeros((R, 0), bool)
@@ -128,11 +136,11 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         can_continue = live_hit & (bounces_done < H) & (life > 0.0)
 
         normal = intersect.reflection_normal(
-            p, uni["kind"][idx], uni["center"][idx],
-            uni["half_extents"][idx], uni["inv_rot"][idx])
+            p, attrs["kind"], attrs["center"], attrs["half_extents"],
+            attrs["inv_rot"])
         d_new = intersect.reflect(d, normal)
         o_new = p + d_new * eps
-        life_new = life - cfg.max_ray_life * uni["absorption"][idx]
+        life_new = life - cfg.max_ray_life * attrs["absorption"]
         alive_next = can_continue & (life_new >= 0.0)
 
         o = jnp.where(can_continue[..., None], o_new, p)
@@ -146,6 +154,12 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
     d0 = directions
     life0 = jnp.full((R,), cfg.max_ray_life, directions.dtype)
     alive0 = jnp.ones((R,), bool)
+    if pvary_axes:
+        # Under shard_map, scan carries must enter with the same
+        # varying-manifest-axes type they leave with.
+        o0, life0, alive0 = (
+            jax.lax.pcast(x, pvary_axes, to="varying")
+            for x in (o0, life0, alive0))
 
     (_, _, _, _), (echo, muffle_inc, hit_mask, hit_points) = jax.lax.scan(
         bounce, (o0, d0, life0, alive0), jnp.arange(H), length=H)

@@ -60,6 +60,8 @@ def _inv(q):
 
 
 def _ray_aabb(o, d, center, half):
+    # Same zero-axis nudge as ops/intersect._aabb_slab (canonical semantics).
+    d = np.where(np.abs(d) < 1e-12, np.copysign(1e-12, d), d)
     with np.errstate(divide="ignore", invalid="ignore"):
         inv_d = 1.0 / d
         t0 = (center - half - o) * inv_d
@@ -197,6 +199,7 @@ def _chord_loss(scene: OracleScene, o, d, skip_target):
 
     def box_loss(o2, d2, half, density):
         nonlocal total
+        d2 = np.where(np.abs(d2) < 1e-12, np.copysign(1e-12, d2), d2)
         with np.errstate(divide="ignore", invalid="ignore"):
             inv_d = 1.0 / d2
             t0 = (-half - o2) * inv_d

@@ -1,13 +1,21 @@
 """Test harness config: run JAX on CPU with 8 virtual devices so sharding
-tests exercise a multi-device mesh without TPU hardware (SURVEY.md §4e)."""
+tests exercise a multi-device mesh without TPU hardware (SURVEY.md §4e).
+
+NOTE: this environment's sitecustomize imports jax at interpreter startup
+(registering a TPU plugin and pinning JAX_PLATFORMS), so env vars set here
+are too late — we must override through jax.config, which works because
+backends initialize lazily on first use.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

