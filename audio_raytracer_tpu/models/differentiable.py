@@ -79,7 +79,8 @@ class SceneParams:
 def loudness_map(origin: Array, directions: Array, scene: Scene,
                  cfg: TraceConfig, backend=None,
                  total_ray_count: int | None = None,
-                 axis_name: str | None = None) -> Loudness:
+                 axis_name: str | None = None,
+                 pvary_axes: tuple = ()) -> Loudness:
     """Differentiable loudness field. With ``axis_name`` set, ray-axis
     partial sums are psum-reduced (for shard_map'd training)."""
     R = directions.shape[0]
@@ -142,6 +143,12 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
     life0 = jnp.full((R,), cfg.max_ray_life, directions.dtype)
     alive0 = jnp.ones((R,), bool)
     e0 = jnp.ones((R,), directions.dtype)
+    if pvary_axes:
+        # shard_map scan carries must enter with their steady-state
+        # varying-manifest-axes type (see ops/trace.py).
+        o0, life0, alive0, e0 = (
+            jax.lax.pcast(x, pvary_axes, to="varying")
+            for x in (o0, life0, alive0, e0))
 
     _, (echo_c, muffle_c) = jax.lax.scan(
         bounce, (o0, directions, life0, alive0, e0), jnp.arange(H), length=H)

@@ -1,0 +1,80 @@
+"""Sharded training step: the full backward over a ('rays','prims') mesh.
+
+Gradient workload (BASELINE config 4) at scale: the loudness-map loss runs
+under shard_map — rays data-parallel, primitive arrays (and thus the
+learnable material parameters) tensor-parallel over 'prims' — and the
+parameter gradients emerge sharded over 'prims' (the reduce-scatter-style
+layout; XLA overlaps the psum tree with the backward pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from audio_raytracer_tpu.models.differentiable import (
+    Loudness,
+    SceneParams,
+    loudness_map,
+)
+from audio_raytracer_tpu.ops.backend import DenseBackend, PrimShardedBackend
+from audio_raytracer_tpu.parallel.sharded import scene_pspec
+from audio_raytracer_tpu.types import Materials, Scene, TraceConfig
+
+
+def params_pspec(prim_sharded: bool) -> SceneParams:
+    prim = P("prims") if prim_sharded else P()
+    mat = Materials(absorption=prim, density=prim, echo=prim)
+    return SceneParams(sphere=mat, aabb=mat, obb=mat)
+
+
+def loudness_pspec() -> Loudness:
+    return Loudness(muffle=P(), permeation=P(), reverb_energy=P())
+
+
+def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
+                            optimizer=None):
+    """Build ``train_step(params, opt_state, scene, origin, dirs, target)``
+    jitted over the mesh. ``scene`` carries geometry (materials are taken
+    from ``params``); primitive leaves and params are sharded over 'prims',
+    directions over 'rays', targets replicated."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    prim_shards = mesh.shape["prims"]
+    prim_sharded = prim_shards > 1
+
+    def local_loss(params, scene_geom, origin, dirs_local, target):
+        scene_local = params.into_scene(scene_geom)
+        if prim_sharded:
+            backend = PrimShardedBackend(scene_local, "prims", prim_shards)
+        else:
+            backend = DenseBackend(scene_local)
+        pred = loudness_map(origin, dirs_local, scene_local, cfg,
+                            backend=backend, axis_name="rays",
+                            total_ray_count=cfg.ray_count,
+                            pvary_axes=("rays",))
+        return (jnp.mean((pred.muffle - target.muffle) ** 2)
+                + jnp.mean((pred.permeation - target.permeation) ** 2)
+                + (pred.reverb_energy - target.reverb_energy) ** 2)
+
+    loss_fn = jax.shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(params_pspec(prim_sharded), scene_pspec(prim_sharded),
+                  P(), P("rays"), loudness_pspec()),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, scene_geom, origin, directions, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, scene_geom, origin, directions, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, optimizer
