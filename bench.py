@@ -27,8 +27,8 @@ REFERENCE_ENVELOPE_RAYS_PER_S = 30_000.0  # 500 rays x 60 fps (see above)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--rays", type=int, default=262_144)
-    p.add_argument("--prims", type=int, default=1024)
-    p.add_argument("--targets", type=int, default=8)
+    p.add_argument("--prims", type=int, default=512)
+    p.add_argument("--targets", type=int, default=4)
     p.add_argument("--bounces", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--mode", choices=["fwd", "fwd_bwd"], default="fwd")
@@ -81,18 +81,23 @@ def main():
 
         metric = "rays_per_s_per_chip_fwd_bwd"
 
-    # Warmup / compile.
-    out = step(origin, dirs, scene)
-    jax.block_until_ready(out)
+    import numpy as np
 
-    # Time with distinct inputs and a block per iteration: the device
-    # relay can otherwise report async-dispatch time, not compute time.
+    def drain(out):
+        """Force completion via a host transfer: through the device relay
+        block_until_ready returns before compute finishes; fetching a
+        value cannot."""
+        return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+    # Warmup / compile.
+    drain(step(origin, dirs, scene))
+
+    # Time with distinct inputs and a true sync per iteration.
     times = []
     for i in range(args.iters):
         o_i = origin + jnp.float32(i) * 1e-6
         t0 = time.perf_counter()
-        out = step(o_i, dirs, scene)
-        jax.block_until_ready(out)
+        drain(step(o_i, dirs, scene))
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median
 
