@@ -160,18 +160,16 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
     p_first = o0 + directions * t_sf[..., None]
     off = p_first - directions * eps
 
-    def per_target(target_pos, target_idx):
-        to_t = target_pos - off
-        dist = intersect.safe_norm(to_t)
-        dirn = to_t / dist[..., None]
-        loss = backend.permeation_loss(off, dirn, skip_target_id=target_idx)
-        val = cfg.permeation_strength_per_ray - loss / R_total
-        return jnp.where(hit_first, val, 0.0)
-
     if T > 0:
-        perm_vals = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
-            scene.target_positions, jnp.arange(T, dtype=jnp.int32))  # [R, T]
-        perm_sum = jnp.sum(perm_vals, axis=0)
+        perm_cols = []
+        for ti in range(T):
+            to_t = scene.target_positions[ti] - off
+            dist = intersect.safe_norm(to_t)
+            dirn = to_t / dist[..., None]
+            loss = backend.permeation_loss(off, dirn, skip_target_id=ti)
+            val = cfg.permeation_strength_per_ray - loss / R_total
+            perm_cols.append(jnp.where(hit_first, val, 0.0))
+        perm_sum = jnp.sum(jnp.stack(perm_cols, axis=-1), axis=0)
     else:
         perm_sum = jnp.zeros((0,), directions.dtype)
 

@@ -34,27 +34,44 @@ from audio_raytracer_tpu.types import (
 Array = jnp.ndarray
 
 
+def _make_backend(scene: Scene, backend: str):
+    if backend == "jnp" or scene.num_primitives == 0:
+        return None  # trace/permeation default to DenseBackend
+    if backend in ("pallas", "pallas_interpret"):
+        from audio_raytracer_tpu.ops.pallas import PallasBackend
+
+        return PallasBackend(scene, interpret=(backend == "pallas_interpret"))
+    raise ValueError(f"unknown backend {backend!r}")
+
+
 def forward(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
-            collect_debug: bool = False) -> tuple[TraceResult, TargetSettings]:
+            collect_debug: bool = False,
+            backend: str = "jnp") -> tuple[TraceResult, TargetSettings]:
     """One full frame: trace + permeation + reduce.
 
     Equivalent to one cycle of AudioRaytracerJobBatched ||
     AudioPermeationJobBatched -> ProcessAudioDataJob.
+
+    ``backend``: "jnp" (XLA-fused baseline) or "pallas" (streaming TPU
+    kernels; "pallas_interpret" for CPU debugging).
     """
+    be = _make_backend(scene, backend)
     result = trace_op.trace(origin, directions, scene, cfg,
-                            collect_debug=collect_debug)
-    perm = permeation_op.permeation(origin, directions, scene, cfg)
+                            collect_debug=collect_debug, backend=be)
+    perm = permeation_op.permeation(origin, directions, scene, cfg,
+                                    backend=be)
     result = dataclasses.replace(result, permeation=perm)
     settings = process_op.process(result, scene, cfg)
     return result, settings
 
 
-def make_forward(cfg: TraceConfig, collect_debug: bool = False):
+def make_forward(cfg: TraceConfig, collect_debug: bool = False,
+                 backend: str = "jnp"):
     """Jitted forward with the static config closed over."""
 
     @jax.jit
     def step(origin, directions, scene):
-        return forward(origin, directions, scene, cfg, collect_debug)
+        return forward(origin, directions, scene, cfg, collect_debug, backend)
 
     return step
 

@@ -55,17 +55,15 @@ def permeation(origin: Array, directions: Array, scene: Scene,
     p = o + d * t_safe[..., None]
     offset_point = p - d * cfg.epsilon  # cs:72
 
-    def per_target(target_pos, target_idx):
-        to_target = target_pos - offset_point  # [R, 3]
+    cols = []
+    for ti in range(T):
+        to_target = scene.target_positions[ti] - offset_point  # [R, 3]
         dist = intersect.safe_norm(to_target)
         direction = to_target / dist[..., None]
         loss = backend.permeation_loss(offset_point, direction,
-                                       skip_target_id=target_idx)
-        return R_total * cfg.permeation_strength_per_ray - loss  # cs:260
-
-    values = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
-        scene.target_positions,
-        jnp.arange(T, dtype=jnp.int32))  # [R, T]
+                                       skip_target_id=ti)
+        cols.append(R_total * cfg.permeation_strength_per_ray - loss)  # cs:260
+    values = jnp.stack(cols, axis=-1)  # [R, T]
 
     # Last-hitting-ray-in-batch selection (the overwrite quirk).
     batch_ids = accum_batch_ids(R, B)

@@ -49,20 +49,21 @@ def accum_batch_ids(ray_count: int, num_batches: int) -> jnp.ndarray:
 def _muffle_visibility(offset_point: Array, backend, scene: Scene,
                        cfg: TraceConfig):
     """[R, T] bool: target within MaxMuffleHitDistance and unoccluded
-    (skipping the target's own colliders)."""
-    tp = scene.target_positions  # [T, 3]
+    (skipping the target's own colliders).
 
-    def per_target(target_pos, target_idx):
-        to_target = target_pos - offset_point  # [R, 3]
+    Static python loop over targets (T is small and static) so backends
+    built on pallas_call need no vmap batching rule.
+    """
+    tp = scene.target_positions  # [T, 3]
+    cols = []
+    for t in range(tp.shape[0]):
+        to_target = tp[t] - offset_point  # [R, 3]
         dist = intersect.safe_norm(to_target)  # [R]
         direction = to_target / dist[..., None]
         occluded = backend.occluded(offset_point, direction, dist,
-                                    skip_target_id=target_idx)
-        return (dist < cfg.max_muffle_hit_distance) & ~occluded
-
-    vis = jax.vmap(per_target, in_axes=(0, 0), out_axes=-1)(
-        tp, jnp.arange(tp.shape[0], dtype=jnp.int32))
-    return vis  # [R, T]
+                                    skip_target_id=t)
+        cols.append((dist < cfg.max_muffle_hit_distance) & ~occluded)
+    return jnp.stack(cols, axis=-1)  # [R, T]
 
 
 def _empty_result(R, T, H, cfg, dt, collect_debug):

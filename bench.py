@@ -55,10 +55,14 @@ def main():
     origin = jnp.zeros((3,), jnp.float32)
     dirs = fibonacci_directions(args.rays)
 
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
+
     if args.mode == "fwd":
         @jax.jit
         def step(origin, dirs, scene):
-            _, settings = forward(origin, dirs, scene, cfg)
+            _, settings = forward(origin, dirs, scene, cfg, backend=backend)
             return settings
 
         metric = "rays_per_s_per_chip_fwd"

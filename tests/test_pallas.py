@@ -1,0 +1,138 @@
+"""Pallas kernel parity: interpreter-mode kernels vs the dense jnp tier.
+
+The kernels must reproduce the dense backend bit-for-decision: same
+closest-hit winners (scan-order tie-breaks included), same occlusion
+booleans, same chord sums — so the whole forward matches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_raytracer_tpu.models.raytracer import forward, random_scene
+from audio_raytracer_tpu.ops.backend import DenseBackend
+from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+from audio_raytracer_tpu.ops.pallas import PallasBackend
+from audio_raytracer_tpu.types import Aabbs, Scene, Spheres, TraceConfig
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return random_scene(jax.random.key(21), num_spheres=9, num_aabbs=13,
+                        num_obbs=11, num_targets=2, extent=15.0,
+                        size_range=(1.0, 4.0), target_owned_colliders=True)
+
+
+@pytest.fixture(scope="module")
+def rays():
+    dirs = fibonacci_directions(96)
+    o = jnp.zeros((96, 3), jnp.float32)
+    return o, dirs
+
+
+class TestKernelParity:
+    def test_closest_hit(self, scene, rays):
+        o, d = rays
+        dense = DenseBackend(scene)
+        pal = PallasBackend(scene, interpret=True)
+
+        hit_d, t_d, attrs_d = dense.closest_hit(o, d)
+        hit_p, t_p, attrs_p = pal.closest_hit(o, d)
+
+        np.testing.assert_array_equal(np.asarray(hit_d), np.asarray(hit_p))
+        np.testing.assert_allclose(
+            np.where(np.asarray(hit_d), np.asarray(t_d), 0.0),
+            np.where(np.asarray(hit_p), np.asarray(t_p), 0.0),
+            rtol=1e-5, atol=1e-5)
+        for k in ("kind", "absorption", "echo"):
+            np.testing.assert_allclose(
+                np.where(np.asarray(hit_d), np.asarray(attrs_d[k]), 0),
+                np.where(np.asarray(hit_p), np.asarray(attrs_p[k]), 0),
+                rtol=1e-6, atol=1e-6, err_msg=k)
+
+    def test_closest_hit_tie_break(self):
+        # Identical overlapping primitives across types: the sphere
+        # (lowest scan rank) must win in both backends.
+        spheres = Spheres.build([[0, 0, 5]], [1.0])
+        aabbs = Aabbs.build([[0, 0, 6], [0, 0, 6]], [[2, 2, 1], [2, 2, 1]])
+        scene = Scene.build(spheres, aabbs, None, [[0, 9, 0]])
+        o = jnp.zeros((8, 3))
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (8, 3))
+        dense = DenseBackend(scene)
+        pal = PallasBackend(scene, interpret=True)
+        _, t_d, a_d = dense.closest_hit(o, d)
+        _, t_p, a_p = pal.closest_hit(o, d)
+        np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_p),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a_d["kind"]),
+                                      np.asarray(a_p["kind"]))
+
+    def test_occlusion(self, scene, rays):
+        o, d = rays
+        dense = DenseBackend(scene)
+        pal = PallasBackend(scene, interpret=True)
+        limit = jnp.full((96,), 20.0)
+        for skip in (None, 0, 1):
+            occ_d = dense.occluded(o, d, limit, skip_target_id=skip)
+            occ_p = pal.occluded(o, d, limit, skip_target_id=skip)
+            np.testing.assert_array_equal(np.asarray(occ_d),
+                                          np.asarray(occ_p),
+                                          err_msg=f"skip={skip}")
+
+    def test_chord_loss(self, scene, rays):
+        o, d = rays
+        dense = DenseBackend(scene)
+        pal = PallasBackend(scene, interpret=True)
+        for skip in (0, 1):
+            l_d = dense.permeation_loss(o, d, skip_target_id=skip)
+            l_p = pal.permeation_loss(o, d, skip_target_id=skip)
+            np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_p),
+                                       rtol=1e-5, atol=1e-4,
+                                       err_msg=f"skip={skip}")
+
+    def test_single_type_scenes(self):
+        # Each primitive type alone (others empty) exercises the
+        # phase-skipping paths.
+        o = jnp.zeros((16, 3))
+        d = fibonacci_directions(16)
+        for kind in ("s", "a", "o"):
+            sc = random_scene(jax.random.key(5),
+                              num_spheres=6 if kind == "s" else 0,
+                              num_aabbs=6 if kind == "a" else 0,
+                              num_obbs=6 if kind == "o" else 0,
+                              num_targets=1, extent=10.0)
+            dense = DenseBackend(sc)
+            pal = PallasBackend(sc, interpret=True)
+            _, t_d, _ = dense.closest_hit(o, d)
+            _, t_p, _ = pal.closest_hit(o, d)
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(t_d), posinf=-1),
+                np.nan_to_num(np.asarray(t_p), posinf=-1),
+                rtol=1e-5, err_msg=kind)
+
+
+class TestForwardParity:
+    def test_full_forward_matches_dense(self, scene):
+        cfg = TraceConfig(ray_count=64, max_bounces=3, max_ray_life=150.0,
+                          num_accum_batches=2)
+        origin = jnp.zeros(3)
+        dirs = fibonacci_directions(64)
+        r_d, s_d = forward(origin, dirs, scene, cfg, collect_debug=True,
+                           backend="jnp")
+        r_p, s_p = forward(origin, dirs, scene, cfg, collect_debug=True,
+                           backend="pallas_interpret")
+
+        np.testing.assert_array_equal(np.asarray(r_d.hit_counts),
+                                      np.asarray(r_p.hit_counts))
+        np.testing.assert_allclose(np.asarray(r_d.echo_distances),
+                                   np.asarray(r_p.echo_distances),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(r_d.muffle_hits),
+                                      np.asarray(r_p.muffle_hits))
+        np.testing.assert_allclose(np.asarray(r_d.permeation),
+                                   np.asarray(r_p.permeation),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s_d.muffle),
+                                   np.asarray(s_p.muffle), rtol=1e-5,
+                                   atol=1e-6)
