@@ -1,0 +1,172 @@
+"""JSON scene format: the framework's answer to Unity scene/prefab YAML.
+
+A scene file declares materials, colliders (AABB / OBB / sphere), audio
+targets, the listener, the trace config, and waypoint animations (the
+PlatformMover analog — dynamic colliders exercising the re-bake path).
+
+Schema (all sections optional except colliders/targets):
+
+{
+  "trace":     {TraceConfig fields...},
+  "listener":  {"position": [x,y,z]},
+  "materials": {"name": {"absorption": a, "density": d, "echo": e}, ...},
+  "colliders": [
+    {"type": "aabb",   "center": [..], "half_extents": [..],
+     "material": "name" | [a,d,e], "target": idx?},
+    {"type": "obb",    ..., "euler_deg": [x,y,z] | "quat_xyzw": [..]},
+    {"type": "sphere", "center": [..], "radius": r, ...}
+  ],
+  "targets":   [{"position": [..], "name": "..."}],
+  "animations": [
+    {"collider": index_into_colliders, "waypoints": [[..],[..]],
+     "speed": units_per_second}
+  ]
+}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+
+import numpy as np
+
+from audio_raytracer_tpu.materials import MATERIAL_PRESETS
+from audio_raytracer_tpu.runtime.registry import SceneRegistry
+from audio_raytracer_tpu.types import TraceConfig
+
+
+def _euler_deg_to_inv_quat_xyzw(euler_deg):
+    """Unity-convention ZXY euler (degrees) -> INVERSE quaternion xyzw
+    (the bake-time inversion of AudioOBBCollider.cs:59)."""
+    ex, ey, ez = (math.radians(v) * 0.5 for v in euler_deg)
+    sx, cx = math.sin(ex), math.cos(ex)
+    sy, cy = math.sin(ey), math.cos(ey)
+    sz, cz = math.sin(ez), math.cos(ez)
+    x = sx * cy * cz + sy * sz * cx
+    y = sy * cx * cz - sx * sz * cy
+    z = sz * cx * cy - sx * sy * cz
+    w = cx * cy * cz + sy * sz * sx
+    return (-x, -y, -z, w)  # conjugate = inverse for unit quats
+
+
+def _resolve_material(spec, materials):
+    if spec is None:
+        return MATERIAL_PRESETS["default"]
+    if isinstance(spec, str):
+        if spec in materials:
+            m = materials[spec]
+            return (m.get("absorption", 0.0), m.get("density", 1.0),
+                    m.get("echo", 1.0))
+        return MATERIAL_PRESETS[spec]
+    a, d, e = spec
+    return (float(a), float(d), float(e))
+
+
+@dataclasses.dataclass
+class Animation:
+    """Waypoint mover: advances toward the next waypoint at ``speed``
+    units/sec, looping (PlatformMover.cs:5-34 semantics)."""
+
+    handle: int
+    kind: str  # collider type
+    base: dict  # the collider's non-positional parameters
+    waypoints: np.ndarray  # [K, 3]
+    speed: float
+    _wp: int = 1
+    position: np.ndarray | None = None
+
+    def step(self, registry: SceneRegistry, dt: float):
+        if self.position is None:
+            self.position = np.asarray(self.waypoints[0], float).copy()
+        target = np.asarray(self.waypoints[self._wp], float)
+        delta = target - self.position
+        dist = float(np.linalg.norm(delta))
+        move = self.speed * dt
+        if dist <= move or dist == 0.0:
+            self.position = target.copy()
+            self._wp = (self._wp + 1) % len(self.waypoints)
+        else:
+            self.position = self.position + delta / dist * move
+        kw = dict(self.base)
+        if self.kind == "sphere":
+            registry.update_sphere(self.handle, self.position, **kw)
+        elif self.kind == "aabb":
+            registry.update_aabb(self.handle, self.position, **kw)
+        else:
+            registry.update_obb(self.handle, self.position, **kw)
+
+
+@dataclasses.dataclass
+class LoadedScene:
+    registry: SceneRegistry
+    cfg: TraceConfig
+    listener_position: np.ndarray
+    animations: list[Animation]
+    target_names: list[str]
+    handles: list[int]
+
+
+def build_registry(doc: dict) -> LoadedScene:
+    """Instantiate a scene document into a live SceneRegistry."""
+    registry = SceneRegistry()
+    materials = doc.get("materials", {})
+
+    cfg_kwargs = doc.get("trace", {})
+    cfg = TraceConfig(**cfg_kwargs)
+
+    target_names = []
+    for t in doc.get("targets", []):
+        registry.add_target(t["position"])
+        target_names.append(t.get("name", f"target{len(target_names)}"))
+
+    handles = []
+    collider_info = []
+    for c in doc.get("colliders", []):
+        mat = _resolve_material(c.get("material"), materials)
+        tgt = int(c.get("target", -1))
+        kind = c["type"]
+        if kind == "sphere":
+            h = registry.add_sphere(c["center"], c["radius"], mat, tgt)
+            base = dict(radius=c["radius"], material=mat, target_id=tgt)
+        elif kind == "aabb":
+            h = registry.add_aabb(c["center"], c["half_extents"], mat, tgt)
+            base = dict(half_extents=c["half_extents"], material=mat,
+                        target_id=tgt)
+        elif kind == "obb":
+            if "quat_xyzw" in c:
+                q = tuple(c["quat_xyzw"])
+                inv_q = (-q[0], -q[1], -q[2], q[3])
+            else:
+                inv_q = _euler_deg_to_inv_quat_xyzw(c.get("euler_deg",
+                                                          [0, 0, 0]))
+            h = registry.add_obb(c["center"], c["half_extents"], inv_q, mat,
+                                 tgt)
+            base = dict(half_extents=c["half_extents"], inv_rot=inv_q,
+                        material=mat, target_id=tgt)
+        else:
+            raise ValueError(f"unknown collider type {kind!r}")
+        handles.append(h)
+        collider_info.append((kind, base))
+
+    animations = []
+    for a in doc.get("animations", []):
+        idx = a["collider"]
+        kind, base = collider_info[idx]
+        animations.append(Animation(
+            handle=handles[idx], kind=kind, base=base,
+            waypoints=np.asarray(a["waypoints"], float),
+            speed=float(a.get("speed", 2.0))))
+
+    listener = np.asarray(
+        doc.get("listener", {}).get("position", [0, 0, 0]), float)
+
+    return LoadedScene(registry=registry, cfg=cfg,
+                       listener_position=listener, animations=animations,
+                       target_names=target_names, handles=handles)
+
+
+def load_scene_file(path: str) -> LoadedScene:
+    with open(path) as f:
+        return build_registry(json.load(f))

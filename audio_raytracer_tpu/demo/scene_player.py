@@ -1,0 +1,178 @@
+"""Headless scene player: the demo-app layer as a CLI.
+
+Reproduces the Unity demo semantics without an engine: a frame loop
+(UpdateScheduler analog) ticks waypoint animations (PlatformMover),
+publishes scene mutations through the double-buffered registry, runs the
+async raytrace loop, feeds per-target settings into the spatializer DSP
+chain, and optionally renders the result to a stereo WAV.
+
+Usage:
+  python -m audio_raytracer_tpu.demo.scene_player            # sample scene
+  python -m audio_raytracer_tpu.demo.scene_player --scene my.json \
+      --frames 120 --render-wav out.wav --npz trace.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import wave
+
+import numpy as np
+
+
+def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
+             listener_path=None, verbose=True):
+    """Run the frame loop; returns per-frame settings history.
+
+    listener_path: optional callable t -> [3] position (the
+    PlayerController analog; default stationary listener).
+    """
+    import jax
+
+    from audio_raytracer_tpu.runtime.orchestrator import AsyncRaytraceLoop
+
+    loop = AsyncRaytraceLoop(loaded.registry, loaded.cfg, backend=backend,
+                             compute_async=False)
+    T = len(loaded.target_names)
+    history = dict(muffle=np.zeros((frames, T)),
+                   reverb_strength=np.zeros(frames),
+                   reverb_volume=np.zeros(frames),
+                   listener=np.zeros((frames, 3)),
+                   frame_ms=np.zeros(frames))
+
+    for f in range(frames):
+        t0 = time.perf_counter()
+        sim_t = f * dt
+        pos = (listener_path(sim_t) if listener_path
+               else loaded.listener_position)
+        for anim in loaded.animations:
+            anim.step(loaded.registry, dt)
+        settings = loop.tick(pos)
+        if settings is not None:
+            jax.block_until_ready(settings)
+            history["muffle"][f] = np.asarray(settings.muffle)
+            history["reverb_strength"][f] = float(settings.reverb_strength)
+            history["reverb_volume"][f] = float(settings.reverb_volume)
+        history["listener"][f] = np.asarray(pos)
+        history["frame_ms"][f] = (time.perf_counter() - t0) * 1e3
+        if verbose and f % max(1, frames // 10) == 0:
+            m = history["muffle"][f]
+            print(f"frame {f:4d}: muffle={np.round(m, 3)} "
+                  f"reverb={history['reverb_strength'][f]:.3f} "
+                  f"({history['frame_ms'][f]:.1f} ms)", file=sys.stderr)
+    return history
+
+
+def render_wav(loaded, history, path, sample_rate=48000, dt=1.0 / 60.0):
+    """Render each target as a distinct tone through the DSP chain, using
+    the per-frame ray-traced settings; mix to stereo 16-bit WAV."""
+    import jax.numpy as jnp
+
+    from audio_raytracer_tpu.models.spatializer import (
+        DSPState,
+        SpatializerSettings,
+        spatialize,
+    )
+    from audio_raytracer_tpu.types import TargetSettings
+
+    frames = len(history["reverb_strength"])
+    T = history["muffle"].shape[1]
+    n_per_frame = int(sample_rate * dt)
+    settings = SpatializerSettings.default()
+    freqs = [220.0 * (1.5 ** i) for i in range(T)]
+    states = [DSPState.zero() for _ in range(T)]
+    targets = np.asarray(loaded.registry.snapshot().target_positions)
+
+    mix = np.zeros((frames * n_per_frame, 2), np.float32)
+    phase = np.zeros(T)
+    for f in range(frames):
+        rt = TargetSettings(
+            muffle=jnp.asarray(history["muffle"][f]),
+            reverb_strength=jnp.asarray(history["reverb_strength"][f]),
+            reverb_volume=jnp.asarray(history["reverb_volume"][f]),
+            perceived_position=jnp.asarray(targets),
+        )
+        listener = history["listener"][f]
+        for ti in range(T):
+            n = n_per_frame
+            tt = (np.arange(n) + phase[ti]) / sample_rate
+            phase[ti] += n
+            tone = 0.25 * np.sin(2 * np.pi * freqs[ti] * tt)
+            buf = jnp.asarray(np.stack([tone, tone], -1), jnp.float32)
+            rel = targets[ti] - listener
+            dist = float(np.linalg.norm(rel))
+            local = jnp.asarray(rel / max(dist, 1e-6), jnp.float32)
+            out, states[ti], _ = spatialize(
+                buf, states[ti], settings, rt, ti, local,
+                jnp.asarray(dist), float(sample_rate))
+            mix[f * n:(f + 1) * n] += np.asarray(out)
+
+    peak = np.abs(mix).max() or 1.0
+    pcm = np.clip(mix / max(peak, 1.0), -1, 1)
+    pcm16 = (pcm * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16.tobytes())
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", help="scene JSON (default: built-in sample)")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--dt", type=float, default=1.0 / 60.0)
+    p.add_argument("--backend", default="jnp",
+                   choices=["jnp", "pallas", "pallas_interpret"])
+    p.add_argument("--render-wav", metavar="PATH")
+    p.add_argument("--npz", metavar="PATH", help="save settings history")
+    p.add_argument("--orbit", action="store_true",
+                   help="listener orbits the origin (PlayerController stand-in)")
+    args = p.parse_args()
+
+    from audio_raytracer_tpu.demo.scene_format import (
+        build_registry,
+        load_scene_file,
+    )
+    from audio_raytracer_tpu.demo.sample_scene import sample_scene_dict
+
+    loaded = (load_scene_file(args.scene) if args.scene
+              else build_registry(sample_scene_dict()))
+
+    listener_path = None
+    if args.orbit:
+        base = np.asarray(loaded.listener_position)
+
+        def listener_path(t):
+            return base + np.asarray(
+                [6.0 * np.sin(0.5 * t), 0.0, 6.0 * np.cos(0.5 * t)])
+
+    history = simulate(loaded, frames=args.frames, dt=args.dt,
+                       backend=args.backend, listener_path=listener_path)
+
+    print(json.dumps({
+        "frames": args.frames,
+        "targets": loaded.target_names,
+        "muffle_mean": np.round(history["muffle"].mean(axis=0), 4).tolist(),
+        "muffle_range": [np.round(history["muffle"].min(axis=0), 4).tolist(),
+                         np.round(history["muffle"].max(axis=0), 4).tolist()],
+        "reverb_strength_mean": round(float(
+            history["reverb_strength"].mean()), 4),
+        "reverb_volume_mean": round(float(
+            history["reverb_volume"].mean()), 4),
+        "frame_ms_median": round(float(np.median(history["frame_ms"])), 2),
+    }))
+
+    if args.npz:
+        np.savez(args.npz, **history)
+        print(f"saved history to {args.npz}", file=sys.stderr)
+    if args.render_wav:
+        render_wav(loaded, history, args.render_wav, dt=args.dt)
+        print(f"rendered {args.render_wav}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

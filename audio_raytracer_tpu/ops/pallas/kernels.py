@@ -34,6 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 512
+# Mosaic requires the sublane block dim divisible by 8, so a grid step
+# takes an (8, RAY_TILE) block = ROWS * RAY_TILE rays, processed as 8
+# independent sub-rows of RAY_TILE rays each.
+ROWS = 8
+RAY_BLOCK = ROWS * RAY_TILE
 CHUNK = 8
 # Python literals (not jnp constants): the kernel must not capture arrays.
 INT_MAX = 2**31 - 1
@@ -152,9 +157,13 @@ def _obb_t(refs, c, ox, oy, oz, dx, dy, dz):
 # ---------------------------------------------------------------------------
 
 
-def _ray_tile_inputs(ray_refs):
-    ox, oy, oz = ray_refs["ox"][:], ray_refs["oy"][:], ray_refs["oz"][:]
-    dx, dy, dz = ray_refs["dx"][:], ray_refs["dy"][:], ray_refs["dz"][:]
+def _ray_tile_inputs(ray_refs, r):
+    """Per-ray fields for sub-row r as (1, RAY_TILE) vectors."""
+    sl = slice(r, r + 1)
+    ox, oy, oz = (ray_refs["ox"][sl, :], ray_refs["oy"][sl, :],
+                  ray_refs["oz"][sl, :])
+    dx, dy, dz = (ray_refs["dx"][sl, :], ray_refs["dy"][sl, :],
+                  ray_refs["dz"][sl, :])
     sdx, sdy, sdz = _safe_dir(dx), _safe_dir(dy), _safe_dir(dz)
     ix, iy, iz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
     a = dx * dx + dy * dy + dz * dz
@@ -166,47 +175,48 @@ def closest_hit_kernel(counts, names, *refs_list):
     ns, na, no = counts
     refs = dict(zip(names, refs_list[:-2]))
     t_out, win_out = refs_list[-2], refs_list[-1]
-
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_tile_inputs(refs)
-    a2 = 2.0 * a
-    inv2a = 1.0 / a2
-
-    shape = (CHUNK, ox.shape[-1])
-    best_t = jnp.full(shape, BIG, jnp.float32)
-    best_i = jnp.full(shape, INT_MAX, jnp.int32)
     iota = _iota8()
 
-    def update(best, t, rank0, c):
-        best_t, best_i = best
-        rank = rank0 + c * CHUNK + iota
-        upd = t < best_t
-        return (jnp.where(upd, t, best_t),
-                jnp.where(upd, jnp.broadcast_to(rank, shape), best_i))
+    for r in range(ROWS):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_tile_inputs(refs, r)
+        a2 = 2.0 * a
+        inv2a = 1.0 / a2
 
-    if ns:
-        def s_body(c, best):
-            return update(best, _sphere_t(refs, c, ox, oy, oz, dx, dy, dz,
-                                          a2, inv2a), 0, c)
-        best_t, best_i = jax.lax.fori_loop(0, ns // CHUNK, s_body,
-                                           (best_t, best_i))
-    if na:
-        def a_body(c, best):
-            return update(best, _aabb_t(refs, c, ox, oy, oz, ix, iy, iz),
-                          ns, c)
-        best_t, best_i = jax.lax.fori_loop(0, na // CHUNK, a_body,
-                                           (best_t, best_i))
-    if no:
-        def o_body(c, best):
-            return update(best, _obb_t(refs, c, ox, oy, oz, dx, dy, dz),
-                          ns + na, c)
-        best_t, best_i = jax.lax.fori_loop(0, no // CHUNK, o_body,
-                                           (best_t, best_i))
+        shape = (CHUNK, ox.shape[-1])
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        best_i = jnp.full(shape, INT_MAX, jnp.int32)
 
-    # Cross-sublane reduce; rank breaks distance ties (reference scan order).
-    m = jnp.min(best_t, axis=0, keepdims=True)
-    cand = jnp.where(best_t == m, best_i, INT_MAX)
-    t_out[:] = m
-    win_out[:] = jnp.min(cand, axis=0, keepdims=True)
+        def update(best, t, rank0, c):
+            bt, bi = best
+            rank = rank0 + c * CHUNK + iota
+            upd = t < bt
+            return (jnp.where(upd, t, bt),
+                    jnp.where(upd, jnp.broadcast_to(rank, shape), bi))
+
+        if ns:
+            def s_body(c, best):
+                return update(best, _sphere_t(refs, c, ox, oy, oz,
+                                              dx, dy, dz, a2, inv2a), 0, c)
+            best_t, best_i = jax.lax.fori_loop(0, ns // CHUNK, s_body,
+                                               (best_t, best_i))
+        if na:
+            def a_body(c, best):
+                return update(best, _aabb_t(refs, c, ox, oy, oz, ix, iy, iz),
+                              ns, c)
+            best_t, best_i = jax.lax.fori_loop(0, na // CHUNK, a_body,
+                                               (best_t, best_i))
+        if no:
+            def o_body(c, best):
+                return update(best, _obb_t(refs, c, ox, oy, oz, dx, dy, dz),
+                              ns + na, c)
+            best_t, best_i = jax.lax.fori_loop(0, no // CHUNK, o_body,
+                                               (best_t, best_i))
+
+        # Cross-sublane reduce; rank breaks ties (reference scan order).
+        m = jnp.min(best_t, axis=0, keepdims=True)
+        cand = jnp.where(best_t == m, best_i, INT_MAX)
+        t_out[r:r + 1, :] = m
+        win_out[r:r + 1, :] = jnp.min(cand, axis=0, keepdims=True)
 
 
 def any_hit_kernel(counts, names, *refs_list):
@@ -217,35 +227,39 @@ def any_hit_kernel(counts, names, *refs_list):
     skip_ref, occ_out = refs_list[-2], refs_list[-1]
     skip = skip_ref[0, 0]
 
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_tile_inputs(refs)
-    a2 = 2.0 * a
-    inv2a = 1.0 / a2
-    limit = refs["limit"][:]
+    for r in range(ROWS):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_tile_inputs(refs, r)
+        a2 = 2.0 * a
+        inv2a = 1.0 / a2
+        limit = refs["limit"][r:r + 1, :]
 
-    shape = (CHUNK, ox.shape[-1])
-    acc = jnp.zeros(shape, jnp.int32)
+        shape = (CHUNK, ox.shape[-1])
+        acc = jnp.zeros(shape, jnp.int32)
 
-    def hit_mask(t, tgt):
-        keep = tgt != skip
-        return ((t < limit) & keep).astype(jnp.int32)
+        def hit_mask(t, tgt):
+            keep = tgt != skip
+            return ((t < limit) & keep).astype(jnp.int32)
 
-    if ns:
-        def s_body(c, acc):
-            t = _sphere_t(refs, c, ox, oy, oz, dx, dy, dz, a2, inv2a)
-            return acc | hit_mask(t, refs["s_tgt"][pl.ds(c * CHUNK, CHUNK), :])
-        acc = jax.lax.fori_loop(0, ns // CHUNK, s_body, acc)
-    if na:
-        def a_body(c, acc):
-            t = _aabb_t(refs, c, ox, oy, oz, ix, iy, iz)
-            return acc | hit_mask(t, refs["a_tgt"][pl.ds(c * CHUNK, CHUNK), :])
-        acc = jax.lax.fori_loop(0, na // CHUNK, a_body, acc)
-    if no:
-        def o_body(c, acc):
-            t = _obb_t(refs, c, ox, oy, oz, dx, dy, dz)
-            return acc | hit_mask(t, refs["o_tgt"][pl.ds(c * CHUNK, CHUNK), :])
-        acc = jax.lax.fori_loop(0, no // CHUNK, o_body, acc)
+        if ns:
+            def s_body(c, acc):
+                t = _sphere_t(refs, c, ox, oy, oz, dx, dy, dz, a2, inv2a)
+                return acc | hit_mask(
+                    t, refs["s_tgt"][pl.ds(c * CHUNK, CHUNK), :])
+            acc = jax.lax.fori_loop(0, ns // CHUNK, s_body, acc)
+        if na:
+            def a_body(c, acc):
+                t = _aabb_t(refs, c, ox, oy, oz, ix, iy, iz)
+                return acc | hit_mask(
+                    t, refs["a_tgt"][pl.ds(c * CHUNK, CHUNK), :])
+            acc = jax.lax.fori_loop(0, na // CHUNK, a_body, acc)
+        if no:
+            def o_body(c, acc):
+                t = _obb_t(refs, c, ox, oy, oz, dx, dy, dz)
+                return acc | hit_mask(
+                    t, refs["o_tgt"][pl.ds(c * CHUNK, CHUNK), :])
+            acc = jax.lax.fori_loop(0, no // CHUNK, o_body, acc)
 
-    occ_out[:] = jnp.max(acc, axis=0, keepdims=True)
+        occ_out[r:r + 1, :] = jnp.max(acc, axis=0, keepdims=True)
 
 
 def chord_loss_kernel(counts, names, *refs_list):
@@ -258,7 +272,13 @@ def chord_loss_kernel(counts, names, *refs_list):
     skip_ref, loss_out = refs_list[-2], refs_list[-1]
     skip = skip_ref[0, 0]
 
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, _ = _ray_tile_inputs(refs)
+    for r in range(ROWS):
+        _chord_row(counts, refs, skip, loss_out, r)
+
+
+def _chord_row(counts, refs, skip, loss_out, r):
+    ns, na, no = counts
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, _ = _ray_tile_inputs(refs, r)
     shape = (CHUNK, ox.shape[-1])
     acc = jnp.zeros(shape, jnp.float32)
 
@@ -315,7 +335,7 @@ def chord_loss_kernel(counts, names, *refs_list):
             return acc + jnp.where(valid, chord, 0.0) * refs["o_dens"][s, :]
         acc = jax.lax.fori_loop(0, no // CHUNK, o_body, acc)
 
-    loss_out[:] = jnp.sum(acc, axis=0, keepdims=True)
+    loss_out[r:r + 1, :] = jnp.sum(acc, axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -328,10 +348,11 @@ def _prim_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _ray_spec(tile=RAY_TILE):
-    # Ray arrays are row-blocked (R/tile, tile): one row per grid step, so
-    # only the active block (not the whole [R] array) is staged in VMEM.
-    return pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _ray_spec():
+    # Ray arrays are row-blocked (R/RAY_TILE, RAY_TILE); each grid step
+    # stages an (ROWS, RAY_TILE) block = RAY_BLOCK rays in VMEM.
+    return pl.BlockSpec((ROWS, RAY_TILE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _pad_rays(x, rp):
@@ -341,10 +362,14 @@ def _pad_rays(x, rp):
     return x.reshape(rp // RAY_TILE, RAY_TILE)
 
 
+def _round_block(R):
+    return -(-R // RAY_BLOCK) * RAY_BLOCK
+
+
 def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
     """o, d: [R, 3] -> (t [R] (+inf miss), rank [R] int32)."""
     R = o.shape[0]
-    rp = -(-R // RAY_TILE) * RAY_TILE
+    rp = _round_block(R)
     names = list(prim_fields.keys())
     ray_names = ["ox", "oy", "oz", "dx", "dy", "dz"]
     rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
@@ -356,7 +381,7 @@ def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
     kernel = functools.partial(closest_hit_kernel, counts, all_names)
     t, win = pl.pallas_call(
         kernel,
-        grid=(rp // RAY_TILE,),
+        grid=(rp // RAY_BLOCK,),
         in_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(names),
         out_specs=[_ray_spec(), _ray_spec()],
         out_shape=[
@@ -373,7 +398,7 @@ def run_any_hit(prim_fields: dict, counts, o, d, limit, skip_id,
                 interpret=False):
     """Occlusion test -> bool [R]. ``skip_id``: scalar int32 (-1 = none)."""
     R = o.shape[0]
-    rp = -(-R // RAY_TILE) * RAY_TILE
+    rp = _round_block(R)
     names = list(prim_fields.keys())
     ray_names = ["ox", "oy", "oz", "dx", "dy", "dz", "limit"]
     rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
@@ -386,7 +411,7 @@ def run_any_hit(prim_fields: dict, counts, o, d, limit, skip_id,
     kernel = functools.partial(any_hit_kernel, counts, all_names)
     occ = pl.pallas_call(
         kernel,
-        grid=(rp // RAY_TILE,),
+        grid=(rp // RAY_BLOCK,),
         in_specs=([_ray_spec()] * 7 + [_prim_spec()] * len(names)
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         out_specs=_ray_spec(),
@@ -401,7 +426,7 @@ def run_chord_loss(prim_fields: dict, counts, o, d, skip_id,
                    interpret=False):
     """Permeation chord-loss sums -> f32 [R]."""
     R = o.shape[0]
-    rp = -(-R // RAY_TILE) * RAY_TILE
+    rp = _round_block(R)
     names = list(prim_fields.keys())
     ray_names = ["ox", "oy", "oz", "dx", "dy", "dz"]
     rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
@@ -413,7 +438,7 @@ def run_chord_loss(prim_fields: dict, counts, o, d, skip_id,
     kernel = functools.partial(chord_loss_kernel, counts, all_names)
     loss = pl.pallas_call(
         kernel,
-        grid=(rp // RAY_TILE,),
+        grid=(rp // RAY_BLOCK,),
         in_specs=([_ray_spec()] * 6 + [_prim_spec()] * len(names)
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         out_specs=_ray_spec(),

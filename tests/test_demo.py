@@ -1,0 +1,116 @@
+"""Demo layer tests: scene format, sample scene, player loop, checkpoint."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from audio_raytracer_tpu.demo.sample_scene import sample_scene_dict
+from audio_raytracer_tpu.demo.scene_format import (
+    _euler_deg_to_inv_quat_xyzw,
+    build_registry,
+    load_scene_file,
+)
+from audio_raytracer_tpu.demo.scene_player import render_wav, simulate
+
+
+class TestSceneFormat:
+    def test_sample_scene_builds(self):
+        loaded = build_registry(sample_scene_dict(ray_count=32))
+        loaded.registry.snapshot()  # publish the job batch
+        counts = loaded.registry.counts()
+        assert counts[3] == 2
+        assert counts[0] == 4  # spheres (2 + 2 target-owned)
+        assert counts[1] == 10  # aabbs incl. platform
+        assert counts[2] == 3
+        assert len(loaded.animations) == 1
+        assert loaded.cfg.ray_count == 32
+        loaded.registry.close()
+
+    def test_roundtrip_via_file(self, tmp_path):
+        doc = sample_scene_dict(ray_count=16)
+        path = tmp_path / "scene.json"
+        path.write_text(json.dumps(doc))
+        loaded = load_scene_file(str(path))
+        assert loaded.target_names == ["radio", "speaker"]
+        loaded.registry.close()
+
+    def test_euler_quat_matches_quaternion_module(self):
+        from audio_raytracer_tpu.ops import quaternion
+        import jax.numpy as jnp
+
+        euler = [30.0, 45.0, -20.0]
+        got = np.asarray(_euler_deg_to_inv_quat_xyzw(euler))
+        expect = np.asarray(quaternion.inverse(quaternion.from_euler_zxy(
+            jnp.radians(jnp.asarray(euler)))))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_material_resolution(self):
+        doc = {
+            "materials": {"custom": {"absorption": 0.5, "density": 2.0,
+                                     "echo": 0.1}},
+            "colliders": [
+                {"type": "sphere", "center": [0, 0, 5], "radius": 1,
+                 "material": "custom"},
+                {"type": "sphere", "center": [0, 0, 9], "radius": 1,
+                 "material": "concrete"},
+                {"type": "sphere", "center": [0, 0, 13], "radius": 1,
+                 "material": [0.9, 0.8, 0.7]},
+            ],
+            "targets": [{"position": [0, 5, 0]}],
+        }
+        loaded = build_registry(doc)
+        scene = loaded.registry.snapshot()
+        ab = np.asarray(scene.spheres.material.absorption[:3])
+        np.testing.assert_allclose(sorted(ab), [0.25, 0.5, 0.9], atol=1e-6)
+        loaded.registry.close()
+
+
+class TestScenePlayer:
+    def test_simulation_runs_and_platform_moves(self):
+        loaded = build_registry(sample_scene_dict(ray_count=48,
+                                                  max_bounces=2))
+        history = simulate(loaded, frames=12, dt=0.1, verbose=False)
+        assert history["muffle"].shape == (12, 2)
+        # Settings populated after the first harvest.
+        assert np.any(history["muffle"][2:] > 0) or np.any(
+            history["reverb_volume"] > 0)
+        # The animated platform actually moved.
+        anim = loaded.animations[0]
+        assert not np.allclose(anim.position, anim.waypoints[0])
+        loaded.registry.close()
+
+    def test_wav_render(self, tmp_path):
+        loaded = build_registry(sample_scene_dict(ray_count=32,
+                                                  max_bounces=1))
+        history = simulate(loaded, frames=4, dt=0.05, verbose=False)
+        out = tmp_path / "demo.wav"
+        render_wav(loaded, history, str(out), sample_rate=8000, dt=0.05)
+        data = out.read_bytes()
+        assert len(data) > 44  # non-empty PCM payload
+        assert data[:4] == b"RIFF"
+        loaded.registry.close()
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from audio_raytracer_tpu.models.differentiable import SceneParams
+        from audio_raytracer_tpu.models.raytracer import random_scene
+        from audio_raytracer_tpu.utils.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        scene = random_scene(jax.random.key(1), 3, 3, 3, num_targets=1)
+        params = SceneParams.from_scene(scene)
+        kind = save_checkpoint(tmp_path / "ckpt", {"scene": scene,
+                                                   "params": params})
+        restored = restore_checkpoint(tmp_path / "ckpt",
+                                      {"scene": scene, "params": params})
+        np.testing.assert_allclose(
+            np.asarray(restored["scene"].spheres.center),
+            np.asarray(scene.spheres.center))
+        np.testing.assert_allclose(
+            np.asarray(restored["params"].aabb.echo),
+            np.asarray(params.aabb.echo))
