@@ -243,6 +243,45 @@ def permeation_loss(o: Array, d: Array, scene: Scene,
             + jnp.sum(b_loss, axis=-1))
 
 
+def primitive_t_per_ray(o: Array, d: Array, kind: Array, center: Array,
+                        half_extents: Array, inv_rot: Array) -> Array:
+    """Differentiable hit distance of one SELECTED primitive per ray.
+
+    The winner-recompute trick: the Pallas closest-hit kernel provides the
+    argmin selection (non-differentiable), then this O(R) jnp recompute of
+    the winner's t makes the distance differentiable in ray origin /
+    direction and the gathered primitive geometry — gradients to listener
+    and collider poses without differentiating the O(R*P) kernel.
+
+    o, d: [R, 3]; kind/center/half_extents/inv_rot: per-ray gathered winner
+    attributes (ops.intersect.unified_arrays layout: sphere radius is
+    half_extents[..., 0], inv_rot identity for spheres/AABBs). Returns [R];
+    values on miss lanes are unspecified (mask with the kernel's hit flag).
+    Same formulas as the kernels (AudioRaytracerJobBatched.cs:284-355).
+    """
+    # Box (AABB and OBB unified: identity inv_rot for AABBs).
+    lo = quaternion.rotate(inv_rot, o - center)
+    ld = quaternion.rotate(inv_rot, d)
+    t_near, t_far = _aabb_slab(lo, ld, 0.0, half_extents)
+    t_box = jnp.where(t_near > 0.0, t_near, t_far)
+
+    # Sphere (full quadratic, near-root preferred).
+    oc = o - center
+    radius = half_extents[..., 0]
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(oc * d, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    hit_disc = disc >= 0.0
+    sqrt_disc = jnp.sqrt(jnp.where(hit_disc, disc, 1.0))  # NaN-safe bwd
+    t0 = (-b - sqrt_disc) / (2.0 * a)
+    t1 = (-b + sqrt_disc) / (2.0 * a)
+    t_sph = jnp.where(t0 >= 0.0, t0, t1)
+    t_sph = jnp.where(hit_disc, t_sph, 0.0)  # finite on miss lanes
+
+    return jnp.where(kind == 0, t_sph, t_box)
+
+
 # ---------------------------------------------------------------------------
 # Unified (gather-friendly) scene view for reflection / materials
 # ---------------------------------------------------------------------------

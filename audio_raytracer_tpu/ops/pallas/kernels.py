@@ -2,26 +2,28 @@
 
 Replaces the Burst SIMD tier of the reference
 (Jobs/AudioRaytracerJobBatched.cs:225-449, AudioPermeationJobBatched.cs)
-with VPU kernels designed for the TPU register file:
+with VPU kernels shaped for the TPU register file:
 
-- Rays live in the LANE dimension: a grid step processes a tile of
-  ``RAY_TILE`` rays as (1, RAY_TILE) vectors; per-ray values (origin,
-  direction, limits) are full-lane vector loads.
-- Primitives stream through the SUBLANE dimension 8 at a time: each field
-  chunk is an (8, 1) vector load broadcast against the ray tile, so every
-  VPU op covers 8 x RAY_TILE (ray, prim) pairs — no scalar extraction,
-  no [R, P] materialization in HBM (the jnp tier OOMs at 1M x 4K; this
-  tier streams).
-- Closest-hit keeps running (8, RAY_TILE) min-distance / min-rank
-  registers with a strict ``<`` update (earlier scan rank wins ties,
-  reproducing the reference's sphere->AABB->OBB scan order), then does a
-  single cross-sublane reduce with an explicit rank tie-break.
-- All prim fields are padded to multiples of 8; inactive padding encodes
-  guaranteed misses (negative squared radius for spheres, a +inf
-  ``miss_add`` term for boxes).
+- Rays are packed (8, R/8) — ray r at [r % 8, r // 8] — so every HBM and
+  VMEM tile is fully dense (zero padding waste at any R). Each grid step
+  stages an (8, RAY_COLS) block: RAY_BLOCK = 8 * RAY_COLS rays whose
+  fields live as full (8, RAY_COLS) vregs.
+- Primitives live in SMEM as 1-D scalar arrays and stream through the
+  scalar unit one at a time: each loop iteration broadcasts one
+  primitive's fields against the whole ray block, so every VPU op covers
+  RAY_BLOCK (ray, prim) pairs. The scalar loads/loop bookkeeping run on
+  the scalar core concurrently with the vector ops (decoupled
+  access-execute), and no [R, P] grid ever materializes in HBM — the
+  jnp tier OOMs at the 1M x 4K headline; this tier streams.
+- The sequential primitive loop reproduces the reference's scan order
+  (spheres, then AABBs, then OBBs, strict ``<`` update — earlier index
+  wins ties) *exactly*, because it IS a sequential scan.
+- Inactive padding encodes guaranteed misses (negative squared radius
+  for spheres, a +inf ``miss`` add for boxes).
 
-Scene data totals ~25 f32 fields x P, resident in VMEM across the whole
-grid (constant index_map), so per-kernel HBM traffic is O(R), not O(R*P).
+SMEM capacity bounds the primitive count per kernel call (~512 KB ->
+~16K mixed primitives with every field resident); the PallasBackend
+asserts the bound. Rays are unbounded (blocked over the grid).
 """
 
 from __future__ import annotations
@@ -33,24 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512
-# Mosaic requires the sublane block dim divisible by 8, so a grid step
-# takes an (8, RAY_TILE) block = ROWS * RAY_TILE rays, processed as 8
-# independent sub-rows of RAY_TILE rays each.
+RAY_COLS = 512
 ROWS = 8
-RAY_BLOCK = ROWS * RAY_TILE
-CHUNK = 8
+RAY_BLOCK = ROWS * RAY_COLS  # rays per grid step
 # Python literals (not jnp constants): the kernel must not capture arrays.
 INT_MAX = 2**31 - 1
 BIG = 3.0e38
-
-
-def _pad8(n: int) -> int:
-    return -(-n // CHUNK) * CHUNK
-
-
-def _iota8():
-    return jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+# SMEM budget for primitive fields (conservative; probe showed >= 512 KB).
+SMEM_BYTES = 512 * 1024
 
 
 def _safe_dir(d):
@@ -61,20 +53,18 @@ def _safe_dir(d):
 
 
 # ---------------------------------------------------------------------------
-# Per-chunk primitive tests (shared by the three kernels)
+# Per-primitive tests (one scalar primitive vs an (8, RAY_COLS) ray block)
 # ---------------------------------------------------------------------------
 
 
-def _sphere_t(refs, c, ox, oy, oz, dx, dy, dz, a2, inv2a):
-    """Sphere hit distance for chunk c: (CHUNK, RAY_TILE); +inf = miss.
+def _sphere_t(refs, p, ox, oy, oz, dx, dy, dz, a2, inv2a):
+    """Sphere p hit distance over the ray block; BIG = miss.
 
     Full quadratic with a = dot(d, d), near root preferred
-    (AudioRaytracerJobBatched.cs:323-355). a2 = 2a, inv2a = 1/(2a),
-    precomputed per ray tile.
+    (AudioRaytracerJobBatched.cs:323-355). a2 = 2a, inv2a = 1/(2a).
     """
-    s = pl.ds(c * CHUNK, CHUNK)
-    cx, cy, cz = refs["s_cx"][s, :], refs["s_cy"][s, :], refs["s_cz"][s, :]
-    r2 = refs["s_r2"][s, :]
+    cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
+    r2 = refs["s_r2"][p]
     ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
     b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
     cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
@@ -88,8 +78,8 @@ def _sphere_t(refs, c, ox, oy, oz, dx, dy, dz, a2, inv2a):
 
 
 def _slab_t(minx, miny, minz, maxx, maxy, maxz, ox, oy, oz, ix, iy, iz):
-    """Slab test given per-pair mins/maxs and inverse dirs. Returns
-    (t, t_enter, t_exit, miss): t per reference select (tNear if > 0 else
+    """Slab test (scalar bounds vs ray-block vectors). Returns
+    (t, t_near, t_far, miss): t per reference select (tNear if > 0 else
     tFar), miss when tNear > tFar or tFar < 0."""
     t0x, t1x = (minx - ox) * ix, (maxx - ox) * ix
     t0y, t1y = (miny - oy) * iy, (maxy - oy) * iy
@@ -104,18 +94,17 @@ def _slab_t(minx, miny, minz, maxx, maxy, maxz, ox, oy, oz, ix, iy, iz):
     return t, t_near, t_far, miss
 
 
-def _aabb_t(refs, c, ox, oy, oz, ix, iy, iz):
-    s = pl.ds(c * CHUNK, CHUNK)
+def _aabb_t(refs, p, ox, oy, oz, ix, iy, iz):
     t, _, _, miss = _slab_t(
-        refs["a_minx"][s, :], refs["a_miny"][s, :], refs["a_minz"][s, :],
-        refs["a_maxx"][s, :], refs["a_maxy"][s, :], refs["a_maxz"][s, :],
+        refs["a_minx"][p], refs["a_miny"][p], refs["a_minz"][p],
+        refs["a_maxx"][p], refs["a_maxy"][p], refs["a_maxz"][p],
         ox, oy, oz, ix, iy, iz)
-    return jnp.where(miss, BIG, t) + refs["a_miss"][s, :]
+    return jnp.where(miss, BIG, t) + refs["a_miss"][p]
 
 
 def _quat_rotate(qx, qy, qz, qw, vx, vy, vz):
-    """Rotate (vx,vy,vz) by quaternion chunk (qx..qw are (CHUNK,1)):
-    v' = v + w*t + q x t with t = 2 q x v. Broadcasts to (CHUNK, RAY_TILE).
+    """Rotate block vectors by a scalar quaternion:
+    v' = v + w*t + q x t with t = 2 q x v.
     """
     tx = 2.0 * (qy * vz - qz * vy)
     ty = 2.0 * (qz * vx - qx * vz)
@@ -126,30 +115,25 @@ def _quat_rotate(qx, qy, qz, qw, vx, vy, vz):
     return rx, ry, rz
 
 
-def _obb_local(refs, c, ox, oy, oz, dx, dy, dz):
-    """Rotate ray into the OBB chunk's local frame using the stored
+def _obb_local(refs, p, ox, oy, oz, dx, dy, dz):
+    """Rotate the ray block into OBB p's local frame using the stored
     (pre-inverted) quaternion. Returns local origin and direction."""
-    s = pl.ds(c * CHUNK, CHUNK)
-    cx, cy, cz = refs["o_cx"][s, :], refs["o_cy"][s, :], refs["o_cz"][s, :]
-    qx, qy, qz = refs["o_qx"][s, :], refs["o_qy"][s, :], refs["o_qz"][s, :]
-    qw = refs["o_qw"][s, :]
+    cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
+    qx, qy, qz = refs["o_qx"][p], refs["o_qy"][p], refs["o_qz"][p]
+    qw = refs["o_qw"][p]
     lox, loy, loz = _quat_rotate(qx, qy, qz, qw, ox - cx, oy - cy, oz - cz)
-    ldx, ldy, ldz = _quat_rotate(qx, qy, qz, qw,
-                                 jnp.broadcast_to(dx, lox.shape),
-                                 jnp.broadcast_to(dy, lox.shape),
-                                 jnp.broadcast_to(dz, lox.shape))
+    ldx, ldy, ldz = _quat_rotate(qx, qy, qz, qw, dx, dy, dz)
     return lox, loy, loz, ldx, ldy, ldz
 
 
-def _obb_t(refs, c, ox, oy, oz, dx, dy, dz):
-    s = pl.ds(c * CHUNK, CHUNK)
-    hx, hy, hz = refs["o_hx"][s, :], refs["o_hy"][s, :], refs["o_hz"][s, :]
-    lox, loy, loz, ldx, ldy, ldz = _obb_local(refs, c, ox, oy, oz, dx, dy, dz)
+def _obb_t(refs, p, ox, oy, oz, dx, dy, dz):
+    hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
+    lox, loy, loz, ldx, ldy, ldz = _obb_local(refs, p, ox, oy, oz, dx, dy, dz)
     ldx, ldy, ldz = _safe_dir(ldx), _safe_dir(ldy), _safe_dir(ldz)
     ix, iy, iz = 1.0 / ldx, 1.0 / ldy, 1.0 / ldz
     t, _, _, miss = _slab_t(-hx, -hy, -hz, hx, hy, hz,
                             lox, loy, loz, ix, iy, iz)
-    return jnp.where(miss, BIG, t) + refs["o_miss"][s, :]
+    return jnp.where(miss, BIG, t) + refs["o_miss"][p]
 
 
 # ---------------------------------------------------------------------------
@@ -157,13 +141,9 @@ def _obb_t(refs, c, ox, oy, oz, dx, dy, dz):
 # ---------------------------------------------------------------------------
 
 
-def _ray_tile_inputs(ray_refs, r):
-    """Per-ray fields for sub-row r as (1, RAY_TILE) vectors."""
-    sl = slice(r, r + 1)
-    ox, oy, oz = (ray_refs["ox"][sl, :], ray_refs["oy"][sl, :],
-                  ray_refs["oz"][sl, :])
-    dx, dy, dz = (ray_refs["dx"][sl, :], ray_refs["dy"][sl, :],
-                  ray_refs["dz"][sl, :])
+def _ray_block_inputs(refs):
+    ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
+    dx, dy, dz = refs["dx"][...], refs["dy"][...], refs["dz"][...]
     sdx, sdy, sdz = _safe_dir(dx), _safe_dir(dy), _safe_dir(dz)
     ix, iy, iz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
     a = dx * dx + dy * dy + dz * dz
@@ -171,171 +151,240 @@ def _ray_tile_inputs(ray_refs, r):
 
 
 def closest_hit_kernel(counts, names, *refs_list):
-    """Grid step: one ray tile vs all primitives -> (t_min, winner rank)."""
+    """Grid step: one ray block vs all primitives -> (t_min, winner rank).
+
+    The fori loops below ARE the reference scan (sphere -> AABB -> OBB,
+    strict < update: AudioRaytracerJobBatched.cs:225-280) vectorized over
+    the ray block.
+    """
     ns, na, no = counts
-    refs = dict(zip(names, refs_list[:-2]))
-    t_out, win_out = refs_list[-2], refs_list[-1]
-    iota = _iota8()
+    refs = dict(zip(names, refs_list[:len(names)]))
+    t_out, win_out = refs_list[len(names)], refs_list[len(names) + 1]
 
-    for r in range(ROWS):
-        ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_tile_inputs(refs, r)
-        a2 = 2.0 * a
-        inv2a = 1.0 / a2
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_block_inputs(refs)
+    a2 = 2.0 * a
+    inv2a = 1.0 / a2
+    shape = ox.shape
 
-        shape = (CHUNK, ox.shape[-1])
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        best_i = jnp.full(shape, INT_MAX, jnp.int32)
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_i = jnp.full(shape, INT_MAX, jnp.int32)
 
-        def update(best, t, rank0, c):
-            bt, bi = best
-            rank = rank0 + c * CHUNK + iota
-            upd = t < bt
-            return (jnp.where(upd, t, bt),
-                    jnp.where(upd, jnp.broadcast_to(rank, shape), bi))
+    def update(best, t, rank):
+        bt, bi = best
+        upd = t < bt
+        return jnp.where(upd, t, bt), jnp.where(upd, rank, bi)
 
-        if ns:
-            def s_body(c, best):
-                return update(best, _sphere_t(refs, c, ox, oy, oz,
-                                              dx, dy, dz, a2, inv2a), 0, c)
-            best_t, best_i = jax.lax.fori_loop(0, ns // CHUNK, s_body,
-                                               (best_t, best_i))
-        if na:
-            def a_body(c, best):
-                return update(best, _aabb_t(refs, c, ox, oy, oz, ix, iy, iz),
-                              ns, c)
-            best_t, best_i = jax.lax.fori_loop(0, na // CHUNK, a_body,
-                                               (best_t, best_i))
-        if no:
-            def o_body(c, best):
-                return update(best, _obb_t(refs, c, ox, oy, oz, dx, dy, dz),
-                              ns + na, c)
-            best_t, best_i = jax.lax.fori_loop(0, no // CHUNK, o_body,
-                                               (best_t, best_i))
+    if ns:
+        def s_body(p, best):
+            return update(best,
+                          _sphere_t(refs, p, ox, oy, oz, dx, dy, dz,
+                                    a2, inv2a), p)
+        best_t, best_i = jax.lax.fori_loop(0, ns, s_body, (best_t, best_i))
+    if na:
+        def a_body(p, best):
+            return update(best, _aabb_t(refs, p, ox, oy, oz, ix, iy, iz),
+                          ns + p)
+        best_t, best_i = jax.lax.fori_loop(0, na, a_body, (best_t, best_i))
+    if no:
+        def o_body(p, best):
+            return update(best, _obb_t(refs, p, ox, oy, oz, dx, dy, dz),
+                          ns + na + p)
+        best_t, best_i = jax.lax.fori_loop(0, no, o_body, (best_t, best_i))
 
-        # Cross-sublane reduce; rank breaks ties (reference scan order).
-        m = jnp.min(best_t, axis=0, keepdims=True)
-        cand = jnp.where(best_t == m, best_i, INT_MAX)
-        t_out[r:r + 1, :] = m
-        win_out[r:r + 1, :] = jnp.min(cand, axis=0, keepdims=True)
+    t_out[...] = best_t
+    win_out[...] = best_i
 
 
 def any_hit_kernel(counts, names, *refs_list):
     """Occlusion: any primitive with t < limit, skipping prims owned by
     the scalar ``skip`` target id (SMEM)."""
     ns, na, no = counts
-    refs = dict(zip(names, refs_list[:-2]))
-    skip_ref, occ_out = refs_list[-2], refs_list[-1]
-    skip = skip_ref[0, 0]
+    refs = dict(zip(names, refs_list[:len(names)]))
+    skip_ref, occ_out = refs_list[len(names)], refs_list[len(names) + 1]
+    skip = skip_ref[0]
 
-    for r in range(ROWS):
-        ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_tile_inputs(refs, r)
-        a2 = 2.0 * a
-        inv2a = 1.0 / a2
-        limit = refs["limit"][r:r + 1, :]
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_block_inputs(refs)
+    a2 = 2.0 * a
+    inv2a = 1.0 / a2
+    limit = refs["limit"][...]
 
-        shape = (CHUNK, ox.shape[-1])
-        acc = jnp.zeros(shape, jnp.int32)
+    acc0 = jnp.zeros(ox.shape, jnp.int32)
 
-        def hit_mask(t, tgt):
-            keep = tgt != skip
-            return ((t < limit) & keep).astype(jnp.int32)
+    def hit_mask(t, tgt):
+        return ((t < limit) & (tgt != skip)).astype(jnp.int32)
 
-        if ns:
-            def s_body(c, acc):
-                t = _sphere_t(refs, c, ox, oy, oz, dx, dy, dz, a2, inv2a)
-                return acc | hit_mask(
-                    t, refs["s_tgt"][pl.ds(c * CHUNK, CHUNK), :])
-            acc = jax.lax.fori_loop(0, ns // CHUNK, s_body, acc)
-        if na:
-            def a_body(c, acc):
-                t = _aabb_t(refs, c, ox, oy, oz, ix, iy, iz)
-                return acc | hit_mask(
-                    t, refs["a_tgt"][pl.ds(c * CHUNK, CHUNK), :])
-            acc = jax.lax.fori_loop(0, na // CHUNK, a_body, acc)
-        if no:
-            def o_body(c, acc):
-                t = _obb_t(refs, c, ox, oy, oz, dx, dy, dz)
-                return acc | hit_mask(
-                    t, refs["o_tgt"][pl.ds(c * CHUNK, CHUNK), :])
-            acc = jax.lax.fori_loop(0, no // CHUNK, o_body, acc)
+    acc = acc0
+    if ns:
+        def s_body(p, acc):
+            t = _sphere_t(refs, p, ox, oy, oz, dx, dy, dz, a2, inv2a)
+            return acc | hit_mask(t, refs["s_tgt"][p])
+        acc = jax.lax.fori_loop(0, ns, s_body, acc)
+    if na:
+        def a_body(p, acc):
+            t = _aabb_t(refs, p, ox, oy, oz, ix, iy, iz)
+            return acc | hit_mask(t, refs["a_tgt"][p])
+        acc = jax.lax.fori_loop(0, na, a_body, acc)
+    if no:
+        def o_body(p, acc):
+            t = _obb_t(refs, p, ox, oy, oz, dx, dy, dz)
+            return acc | hit_mask(t, refs["o_tgt"][p])
+        acc = jax.lax.fori_loop(0, no, o_body, acc)
 
-        occ_out[r:r + 1, :] = jnp.max(acc, axis=0, keepdims=True)
+    occ_out[...] = acc
+
+
+def _sphere_chord(refs, p, skip, ox, oy, oz, dx, dy, dz, dens):
+    """Weighted chord through sphere p (half-b quadratic; direction
+    assumed normalized — AudioPermeationJobBatched.cs:303-328)."""
+    cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
+    r2, tgt = refs["s_r2"][p], refs["s_tgt"][p]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    b = ocx * dx + ocy * dy + ocz * dz
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = b * b - cc
+    hit = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(hit, disc, 1.0))
+    t_exit = -b + sq
+    enter = jnp.maximum(-b - sq, 0.0)
+    chord = jnp.maximum(0.0, t_exit - enter)
+    valid = hit & (t_exit >= 0.0) & (tgt != skip)
+    return jnp.where(valid, chord, 0.0) * dens
+
+
+def _aabb_chord(refs, p, skip, ox, oy, oz, ix, iy, iz, dens):
+    _, t_near, t_far, _ = _slab_t(
+        refs["a_minx"][p], refs["a_miny"][p], refs["a_minz"][p],
+        refs["a_maxx"][p], refs["a_maxy"][p], refs["a_maxz"][p],
+        ox, oy, oz, ix, iy, iz)
+    chord = jnp.maximum(0.0, t_far - jnp.maximum(t_near, 0.0))
+    valid = ((t_near <= t_far) & (t_far >= 0.0)
+             & (refs["a_tgt"][p] != skip) & (refs["a_miss"][p] == 0.0))
+    return jnp.where(valid, chord, 0.0) * dens
+
+
+def _obb_chord(refs, p, skip, ox, oy, oz, dx, dy, dz, dens):
+    hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
+    lox, loy, loz, ldx, ldy, ldz = _obb_local(refs, p, ox, oy, oz, dx, dy, dz)
+    ldx, ldy, ldz = _safe_dir(ldx), _safe_dir(ldy), _safe_dir(ldz)
+    _, t_near, t_far, _ = _slab_t(
+        -hx, -hy, -hz, hx, hy, hz, lox, loy, loz,
+        1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
+    chord = jnp.maximum(0.0, t_far - jnp.maximum(t_near, 0.0))
+    valid = ((t_near <= t_far) & (t_far >= 0.0)
+             & (refs["o_tgt"][p] != skip) & (refs["o_miss"][p] == 0.0))
+    return jnp.where(valid, chord, 0.0) * dens
 
 
 def chord_loss_kernel(counts, names, *refs_list):
     """Permeation: sum over primitives of chord-length x density
     (AudioPermeationJobBatched.cs:225-328), skipping the scalar target's
-    own colliders. Direction is assumed normalized (the half-b sphere
-    variant of the reference)."""
+    own colliders."""
     ns, na, no = counts
-    refs = dict(zip(names, refs_list[:-2]))
-    skip_ref, loss_out = refs_list[-2], refs_list[-1]
-    skip = skip_ref[0, 0]
+    refs = dict(zip(names, refs_list[:len(names)]))
+    skip_ref, loss_out = refs_list[len(names)], refs_list[len(names) + 1]
+    skip = skip_ref[0]
 
-    for r in range(ROWS):
-        _chord_row(counts, refs, skip, loss_out, r)
-
-
-def _chord_row(counts, refs, skip, loss_out, r):
-    ns, na, no = counts
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, _ = _ray_tile_inputs(refs, r)
-    shape = (CHUNK, ox.shape[-1])
-    acc = jnp.zeros(shape, jnp.float32)
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, _ = _ray_block_inputs(refs)
+    acc = jnp.zeros(ox.shape, jnp.float32)
 
     if ns:
-        def s_body(c, acc):
-            s = pl.ds(c * CHUNK, CHUNK)
-            cx, cy, cz = (refs["s_cx"][s, :], refs["s_cy"][s, :],
-                          refs["s_cz"][s, :])
-            r2, dens = refs["s_r2"][s, :], refs["s_dens"][s, :]
-            tgt = refs["s_tgt"][s, :]
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            b = ocx * dx + ocy * dy + ocz * dz
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = b * b - cc
-            hit = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(hit, disc, 1.0))
-            t_exit = -b + sq
-            enter = jnp.maximum(-b - sq, 0.0)
-            chord = jnp.maximum(0.0, t_exit - enter)
-            valid = hit & (t_exit >= 0.0) & (tgt != skip)
-            return acc + jnp.where(valid, chord, 0.0) * dens
-        acc = jax.lax.fori_loop(0, ns // CHUNK, s_body, acc)
+        def s_body(p, acc):
+            return acc + _sphere_chord(refs, p, skip, ox, oy, oz, dx, dy, dz,
+                                       refs["s_dens"][p])
+        acc = jax.lax.fori_loop(0, ns, s_body, acc)
+    if na:
+        def a_body(p, acc):
+            return acc + _aabb_chord(refs, p, skip, ox, oy, oz, ix, iy, iz,
+                                     refs["a_dens"][p])
+        acc = jax.lax.fori_loop(0, na, a_body, acc)
+    if no:
+        def o_body(p, acc):
+            return acc + _obb_chord(refs, p, skip, ox, oy, oz, dx, dy, dz,
+                                    refs["o_dens"][p])
+        acc = jax.lax.fori_loop(0, no, o_body, acc)
+
+    loss_out[...] = acc
+
+
+# ---------------------------------------------------------------------------
+# Backward (VJP) kernel for the chord loss
+# ---------------------------------------------------------------------------
+
+
+def chord_bwd_kernel(counts, names, dens_keys, *refs_list):
+    """VJP of chord_loss_kernel: given per-ray cotangents ``gbar``, emit
+    per-ray gradients w.r.t. ray origin/direction and per-primitive
+    gradients w.r.t. density.
+
+    Derivatives come from jax.vjp applied to the same per-primitive math
+    as the forward (exact transposition, no hand-derived case analysis).
+    Per-primitive density cotangents accumulate into grid-invariant SMEM
+    outputs across ray blocks — safe because the TPU grid is sequential.
+    """
+    ns, na, no = counts
+    n_dens = len(dens_keys)
+    refs = dict(zip(names, refs_list[:len(names)]))
+    skip_ref = refs_list[len(names)]
+    outs = refs_list[len(names) + 1:]
+    do_refs = outs[:6]
+    dens_refs = dict(zip(dens_keys, outs[6:6 + n_dens]))
+    skip = skip_ref[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dens_refs.values():
+            def zero(i, _):
+                ref[i] = 0.0
+                return 0
+            jax.lax.fori_loop(0, ref.shape[0], zero, 0)
+
+    ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
+    dx, dy, dz = refs["dx"][...], refs["dy"][...], refs["dz"][...]
+    g = refs["gbar"][...]
+
+    acc = tuple(jnp.zeros(ox.shape, jnp.float32) for _ in range(6))
+
+    def grads(f, dens):
+        """vjp of the per-prim weighted chord w.r.t. rays + scalar dens."""
+        w, vjp = jax.vjp(f, ox, oy, oz, dx, dy, dz, dens)
+        *g_rays, g_dens = vjp(g)
+        return g_rays, g_dens
+
+    if ns:
+        def s_body(p, acc):
+            def f(ox, oy, oz, dx, dy, dz, dens):
+                return _sphere_chord(refs, p, skip, ox, oy, oz, dx, dy, dz,
+                                     dens)
+            g_rays, g_dens = grads(f, refs["s_dens"][p])
+            dens_refs["s_dens"][p] += g_dens
+            return tuple(a + gg for a, gg in zip(acc, g_rays))
+        acc = jax.lax.fori_loop(0, ns, s_body, acc)
 
     if na:
-        def a_body(c, acc):
-            s = pl.ds(c * CHUNK, CHUNK)
-            _, t_near, t_far, _ = _slab_t(
-                refs["a_minx"][s, :], refs["a_miny"][s, :],
-                refs["a_minz"][s, :], refs["a_maxx"][s, :],
-                refs["a_maxy"][s, :], refs["a_maxz"][s, :],
-                ox, oy, oz, ix, iy, iz)
-            chord = jnp.maximum(0.0, t_far - jnp.maximum(t_near, 0.0))
-            valid = ((t_near <= t_far) & (t_far >= 0.0)
-                     & (refs["a_tgt"][s, :] != skip)
-                     & (refs["a_miss"][s, :] == 0.0))
-            return acc + jnp.where(valid, chord, 0.0) * refs["a_dens"][s, :]
-        acc = jax.lax.fori_loop(0, na // CHUNK, a_body, acc)
+        def a_body(p, acc):
+            def f(ox, oy, oz, dx, dy, dz, dens):
+                ix = 1.0 / _safe_dir(dx)
+                iy = 1.0 / _safe_dir(dy)
+                iz = 1.0 / _safe_dir(dz)
+                return _aabb_chord(refs, p, skip, ox, oy, oz, ix, iy, iz,
+                                   dens)
+            g_rays, g_dens = grads(f, refs["a_dens"][p])
+            dens_refs["a_dens"][p] += g_dens
+            return tuple(a + gg for a, gg in zip(acc, g_rays))
+        acc = jax.lax.fori_loop(0, na, a_body, acc)
 
     if no:
-        def o_body(c, acc):
-            s = pl.ds(c * CHUNK, CHUNK)
-            hx, hy, hz = (refs["o_hx"][s, :], refs["o_hy"][s, :],
-                          refs["o_hz"][s, :])
-            lox, loy, loz, ldx, ldy, ldz = _obb_local(
-                refs, c, ox, oy, oz, dx, dy, dz)
-            ldx, ldy, ldz = _safe_dir(ldx), _safe_dir(ldy), _safe_dir(ldz)
-            _, t_near, t_far, _ = _slab_t(
-                -hx, -hy, -hz, hx, hy, hz, lox, loy, loz,
-                1.0 / ldx, 1.0 / ldy, 1.0 / ldz)
-            chord = jnp.maximum(0.0, t_far - jnp.maximum(t_near, 0.0))
-            valid = ((t_near <= t_far) & (t_far >= 0.0)
-                     & (refs["o_tgt"][s, :] != skip)
-                     & (refs["o_miss"][s, :] == 0.0))
-            return acc + jnp.where(valid, chord, 0.0) * refs["o_dens"][s, :]
-        acc = jax.lax.fori_loop(0, no // CHUNK, o_body, acc)
+        def o_body(p, acc):
+            def f(ox, oy, oz, dx, dy, dz, dens):
+                return _obb_chord(refs, p, skip, ox, oy, oz, dx, dy, dz,
+                                  dens)
+            g_rays, g_dens = grads(f, refs["o_dens"][p])
+            dens_refs["o_dens"][p] += g_dens
+            return tuple(a + gg for a, gg in zip(acc, g_rays))
+        acc = jax.lax.fori_loop(0, no, o_body, acc)
 
-    loss_out[r:r + 1, :] = jnp.sum(acc, axis=0, keepdims=True)
+    for ref, a in zip(do_refs, acc):
+        ref[...] = a
 
 
 # ---------------------------------------------------------------------------
@@ -344,54 +393,72 @@ def _chord_row(counts, refs, skip, loss_out, r):
 
 
 def _prim_spec():
-    # Whole-array block, grid-invariant: resident in VMEM across the grid.
-    return pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Whole 1-D scalar array, grid-invariant, resident in SMEM.
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 def _ray_spec():
-    # Ray arrays are row-blocked (R/RAY_TILE, RAY_TILE); each grid step
-    # stages an (ROWS, RAY_TILE) block = RAY_BLOCK rays in VMEM.
-    return pl.BlockSpec((ROWS, RAY_TILE), lambda i: (i, 0),
+    # Ray arrays are (8, rp/8); each grid step stages (8, RAY_COLS).
+    return pl.BlockSpec((ROWS, RAY_COLS), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-
-
-def _pad_rays(x, rp):
-    r = x.shape[0]
-    if r != rp:
-        x = jnp.concatenate([x, jnp.zeros((rp - r,), x.dtype)])
-    return x.reshape(rp // RAY_TILE, RAY_TILE)
 
 
 def _round_block(R):
     return -(-R // RAY_BLOCK) * RAY_BLOCK
 
 
+def _pad_rays(x, rp):
+    """[R] -> (8, rp/8) with ray r at [r % 8, r // 8]."""
+    r = x.shape[0]
+    if r != rp:
+        x = jnp.concatenate([x, jnp.zeros((rp - r,), x.dtype)])
+    return x.reshape(rp // ROWS, ROWS).T
+
+
+def _unpack_rays(x, R):
+    """(8, rp/8) -> [R]."""
+    return x.T.reshape(-1)[:R]
+
+
+def _grid(rp):
+    return (rp // RAY_BLOCK,)
+
+
+def _ray_out(rp, dtype):
+    return jax.ShapeDtypeStruct((ROWS, rp // ROWS), dtype)
+
+
 def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
-    """o, d: [R, 3] -> (t [R] (+inf miss), rank [R] int32)."""
+    """o, d: [R, 3] -> (t [R] (+inf miss), rank [R] int32).
+
+    ``prim_fields``: dict of 1-D scalar arrays (see PallasBackend);
+    ``counts``: true (ns, na, no).
+    """
     R = o.shape[0]
     rp = _round_block(R)
     names = list(prim_fields.keys())
+    geom = [k for k in names
+            if not k.endswith("_tgt") and not k.endswith("_dens")]
+    fields = {k: prim_fields[k] for k in geom}
     ray_names = ["ox", "oy", "oz", "dx", "dy", "dz"]
     rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
             _pad_rays(o[:, 2], rp), _pad_rays(d[:, 0], rp),
             _pad_rays(d[:, 1], rp), _pad_rays(d[:, 2], rp)]
     # Padded rays have d = 0 -> nudged dirs; results sliced off anyway.
 
-    all_names = ray_names + names
+    all_names = ray_names + list(fields.keys())
     kernel = functools.partial(closest_hit_kernel, counts, all_names)
     t, win = pl.pallas_call(
         kernel,
-        grid=(rp // RAY_BLOCK,),
-        in_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(names),
+        grid=_grid(rp),
+        in_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(fields),
         out_specs=[_ray_spec(), _ray_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((rp // RAY_TILE, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((rp // RAY_TILE, RAY_TILE), jnp.int32)],
+        out_shape=[_ray_out(rp, jnp.float32), _ray_out(rp, jnp.int32)],
         interpret=interpret,
-    )(*rays, *prim_fields.values())
-    t = t.reshape(rp)[:R]
+    )(*rays, *fields.values())
+    t = _unpack_rays(t, R)
     t = jnp.where(t >= BIG, jnp.inf, t)
-    return t, win.reshape(rp)[:R]
+    return t, _unpack_rays(win, R)
 
 
 def run_any_hit(prim_fields: dict, counts, o, d, limit, skip_id,
@@ -399,27 +466,27 @@ def run_any_hit(prim_fields: dict, counts, o, d, limit, skip_id,
     """Occlusion test -> bool [R]. ``skip_id``: scalar int32 (-1 = none)."""
     R = o.shape[0]
     rp = _round_block(R)
-    names = list(prim_fields.keys())
+    names = [k for k in prim_fields if not k.endswith("_dens")]
+    fields = {k: prim_fields[k] for k in names}
     ray_names = ["ox", "oy", "oz", "dx", "dy", "dz", "limit"]
     rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
             _pad_rays(o[:, 2], rp), _pad_rays(d[:, 0], rp),
             _pad_rays(d[:, 1], rp), _pad_rays(d[:, 2], rp),
             _pad_rays(jnp.broadcast_to(limit, (R,)), rp)]
-    skip = jnp.asarray(skip_id, jnp.int32).reshape(1, 1)
+    skip = jnp.asarray(skip_id, jnp.int32).reshape(1)
 
-    all_names = ray_names + names
+    all_names = ray_names + list(fields.keys())
     kernel = functools.partial(any_hit_kernel, counts, all_names)
     occ = pl.pallas_call(
         kernel,
-        grid=(rp // RAY_BLOCK,),
-        in_specs=([_ray_spec()] * 7 + [_prim_spec()] * len(names)
-                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        grid=_grid(rp),
+        in_specs=([_ray_spec()] * 7 + [_prim_spec()] * len(fields)
+                  + [_prim_spec()]),
         out_specs=_ray_spec(),
-        out_shape=jax.ShapeDtypeStruct((rp // RAY_TILE, RAY_TILE),
-                                       jnp.int32),
+        out_shape=_ray_out(rp, jnp.int32),
         interpret=interpret,
-    )(*rays, *prim_fields.values(), skip)
-    return occ.reshape(rp)[:R] > 0
+    )(*rays, *fields.values(), skip)
+    return _unpack_rays(occ, R) > 0
 
 
 def run_chord_loss(prim_fields: dict, counts, o, d, skip_id,
@@ -432,18 +499,53 @@ def run_chord_loss(prim_fields: dict, counts, o, d, skip_id,
     rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
             _pad_rays(o[:, 2], rp), _pad_rays(d[:, 0], rp),
             _pad_rays(d[:, 1], rp), _pad_rays(d[:, 2], rp)]
-    skip = jnp.asarray(skip_id, jnp.int32).reshape(1, 1)
+    skip = jnp.asarray(skip_id, jnp.int32).reshape(1)
 
     all_names = ray_names + names
     kernel = functools.partial(chord_loss_kernel, counts, all_names)
     loss = pl.pallas_call(
         kernel,
-        grid=(rp // RAY_BLOCK,),
+        grid=_grid(rp),
         in_specs=([_ray_spec()] * 6 + [_prim_spec()] * len(names)
-                  + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+                  + [_prim_spec()]),
         out_specs=_ray_spec(),
-        out_shape=jax.ShapeDtypeStruct((rp // RAY_TILE, RAY_TILE),
-                                       jnp.float32),
+        out_shape=_ray_out(rp, jnp.float32),
         interpret=interpret,
     )(*rays, *prim_fields.values(), skip)
-    return loss.reshape(rp)[:R]
+    return _unpack_rays(loss, R)
+
+
+def run_chord_loss_bwd(prim_fields: dict, counts, o, d, skip_id, gbar,
+                       interpret=False):
+    """VJP wrapper: (d_o [R,3], d_d [R,3], {dens_key: 1-D prim grads}).
+
+    ``gbar``: [R] cotangent of the per-ray loss.
+    """
+    R = o.shape[0]
+    rp = _round_block(R)
+    names = list(prim_fields.keys())
+    dens_keys = [k for k in names if k.endswith("_dens")]
+    ray_names = ["ox", "oy", "oz", "dx", "dy", "dz", "gbar"]
+    rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
+            _pad_rays(o[:, 2], rp), _pad_rays(d[:, 0], rp),
+            _pad_rays(d[:, 1], rp), _pad_rays(d[:, 2], rp),
+            _pad_rays(gbar, rp)]  # zero-padded gbar: padding contributes 0
+    skip = jnp.asarray(skip_id, jnp.int32).reshape(1)
+
+    all_names = ray_names + names
+    kernel = functools.partial(chord_bwd_kernel, counts, all_names, dens_keys)
+    dens_out = [jax.ShapeDtypeStruct(prim_fields[k].shape, jnp.float32)
+                for k in dens_keys]
+    outs = pl.pallas_call(
+        kernel,
+        grid=_grid(rp),
+        in_specs=([_ray_spec()] * 7 + [_prim_spec()] * len(names)
+                  + [_prim_spec()]),
+        out_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(dens_keys),
+        out_shape=[_ray_out(rp, jnp.float32)] * 6 + dens_out,
+        interpret=interpret,
+    )(*rays, *prim_fields.values(), skip)
+    d_o = jnp.stack([_unpack_rays(outs[i], R) for i in range(3)], axis=-1)
+    d_d = jnp.stack([_unpack_rays(outs[i], R) for i in range(3, 6)], axis=-1)
+    dens_grads = dict(zip(dens_keys, outs[6:]))
+    return d_o, d_d, dens_grads

@@ -78,10 +78,17 @@ def main():
                           permeation=jnp.full((args.targets,), 0.2),
                           reverb_energy=jnp.asarray(0.05))
 
+        backend_fn = None
+        if backend == "pallas":
+            from audio_raytracer_tpu.ops.pallas import PallasBackend
+
+            def backend_fn(s):
+                return PallasBackend(s, differentiable=True)
+
         @jax.jit
         def step(origin, dirs, scene):
             return jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
-                                           target)
+                                           target, backend_fn=backend_fn)
 
         metric = "rays_per_s_per_chip_fwd_bwd"
 
