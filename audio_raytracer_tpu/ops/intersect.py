@@ -336,6 +336,39 @@ def unified_arrays(scene: Scene):
     )
 
 
+_PACKED_WIDTH = 16  # 13 used columns padded to a half-vreg lane multiple
+
+
+def packed_unified_table(uni: dict):
+    """[P, 16] f32 row-packed view of unified_arrays output.
+
+    Columns: kind, center xyz, half_extents xyz, inv_rot xyzw, absorption,
+    echo (13 used; padded to 16). One row gather replaces 13 scalar-table
+    gathers on the per-ray winner index — the scalar gathers dominated
+    trace overhead at small ray counts on TPU.
+    """
+    P = uni["kind"].shape[0]
+    cols = [uni["kind"].astype(jnp.float32)[:, None],
+            uni["center"], uni["half_extents"], uni["inv_rot"],
+            uni["absorption"][:, None], uni["echo"][:, None]]
+    packed = jnp.concatenate(cols, axis=1)
+    pad = _PACKED_WIDTH - packed.shape[1]
+    return jnp.concatenate(
+        [packed, jnp.zeros((P, pad), jnp.float32)], axis=1)
+
+
+def unpack_attr_rows(rows):
+    """[..., 16] gathered rows -> the closest_hit attrs dict."""
+    return dict(
+        kind=rows[..., 0].astype(jnp.int32),
+        center=rows[..., 1:4],
+        half_extents=rows[..., 4:7],
+        inv_rot=rows[..., 7:11],
+        absorption=rows[..., 11],
+        echo=rows[..., 12],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reflection
 # ---------------------------------------------------------------------------

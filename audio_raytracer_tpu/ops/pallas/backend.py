@@ -110,8 +110,11 @@ class PallasBackend:
         self._chord_fields = fields
 
         # Unified attribute arrays (rank order [sphere, aabb, obb]) for
-        # winner gathers — the same layout as the dense backend's.
+        # winner gathers — the same layout as the dense backend's, but
+        # row-packed so the winner gather is ONE [P,16] row gather.
         self._uni = intersect.unified_arrays(scene) if self.total else None
+        self._packed = (intersect.packed_unified_table(self._uni)
+                        if self.total else None)
 
     # -- Backend protocol ---------------------------------------------------
 
@@ -131,7 +134,7 @@ class PallasBackend:
                                     sg(o32), sg(d32),
                                     interpret=self.interpret)
         idx = jnp.minimum(rank, self.total - 1)
-        attrs = {k: self._uni[k][idx] for k in _ATTR_KEYS}
+        attrs = intersect.unpack_attr_rows(self._packed[idx])
         hit = jnp.isfinite(t)
         if self.differentiable:
             # Winner-recompute: differentiable t from the gathered winner.

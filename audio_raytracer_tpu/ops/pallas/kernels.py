@@ -4,8 +4,11 @@ Replaces the Burst SIMD tier of the reference
 (Jobs/AudioRaytracerJobBatched.cs:225-449, AudioPermeationJobBatched.cs)
 with VPU kernels shaped for the TPU register file:
 
-- Rays are packed (8, R/8) — ray r at [r % 8, r // 8] — so every HBM and
-  VMEM tile is fully dense (zero padding waste at any R). Each grid step
+- Rays are packed (R/RAY_COLS, RAY_COLS) — a plain reshape, ray r at
+  [r // RAY_COLS, r % RAY_COLS] — so every HBM and VMEM tile is fully
+  dense and the 1-D -> 2-D relayout is a cheap retiling that XLA fuses
+  into the producing elementwise op (an earlier transposed packing cost
+  ~88 ms per 4 MB strided copy at the 1M-ray scale). Each grid step
   stages an (8, RAY_COLS) block: RAY_BLOCK = 8 * RAY_COLS rays whose
   fields live as full (8, RAY_COLS) vregs.
 - Primitives live in SMEM as 1-D scalar arrays and stream through the
@@ -398,8 +401,9 @@ def _prim_spec():
 
 
 def _ray_spec():
-    # Ray arrays are (8, rp/8); each grid step stages (8, RAY_COLS).
-    return pl.BlockSpec((ROWS, RAY_COLS), lambda i: (0, i),
+    # Ray arrays are (rp/RAY_COLS, RAY_COLS); each grid step stages the
+    # 8-row band (8, RAY_COLS) at rows [8i, 8i+8).
+    return pl.BlockSpec((ROWS, RAY_COLS), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -408,16 +412,16 @@ def _round_block(R):
 
 
 def _pad_rays(x, rp):
-    """[R] -> (8, rp/8) with ray r at [r % 8, r // 8]."""
+    """[R] -> (rp/RAY_COLS, RAY_COLS) row-major (a free reshape)."""
     r = x.shape[0]
     if r != rp:
         x = jnp.concatenate([x, jnp.zeros((rp - r,), x.dtype)])
-    return x.reshape(rp // ROWS, ROWS).T
+    return x.reshape(rp // RAY_COLS, RAY_COLS)
 
 
 def _unpack_rays(x, R):
-    """(8, rp/8) -> [R]."""
-    return x.T.reshape(-1)[:R]
+    """(rp/RAY_COLS, RAY_COLS) -> [R]."""
+    return x.reshape(-1)[:R]
 
 
 def _grid(rp):
@@ -425,7 +429,7 @@ def _grid(rp):
 
 
 def _ray_out(rp, dtype):
-    return jax.ShapeDtypeStruct((ROWS, rp // ROWS), dtype)
+    return jax.ShapeDtypeStruct((rp // RAY_COLS, RAY_COLS), dtype)
 
 
 def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
