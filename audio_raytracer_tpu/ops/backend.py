@@ -31,10 +31,27 @@ _INT_MAX = jnp.int32(2**31 - 1)
 class DenseBackend:
     """All primitives visible locally (single device or replicated)."""
 
+    # The jnp t_grid path carries tangents natively; no winner recompute
+    # is needed when this engine sits under a PrimShardedBackend.
+    recompute_winner_t = False
+
     def __init__(self, scene: Scene):
         self.scene = scene
         self._uni = intersect.unified_arrays(scene) \
             if scene.num_primitives else None
+        self._packed = (intersect.packed_unified_table(self._uni)
+                        if self._uni is not None else None)
+
+    def local_closest(self, o: Array, d: Array):
+        """(t [R] (+inf miss), idx [R] int32 in [sphere,aabb,obb] order).
+
+        The local-engine protocol consumed by PrimShardedBackend."""
+        _, t, idx = intersect.closest_hit(o, d, self.scene)
+        return t, idx
+
+    def attr_rows(self, idx: Array) -> Array:
+        """[..., 16] packed winner-attribute rows for local indices."""
+        return self._packed[idx]
 
     def closest_hit(self, o: Array, d: Array):
         """Returns (hit [R], t [R], attrs dict of per-ray hit attributes)."""
@@ -77,14 +94,20 @@ class PrimShardedBackend:
     type-major ([sphere, aabb, obb]) and each shard holds a contiguous
     slice of each type array, so a global "scan rank" is local rank +
     per-type shard offset; the cross-shard winner is the min (t, rank).
+
+    Local intersection work is delegated to an ``engine`` (the local-
+    engine protocol: local_closest / attr_rows / closest_t / occluded /
+    permeation_loss) — DenseBackend (jnp t_grid) by default, or a
+    PallasBackend so each shard streams its primitive slice through the
+    TPU kernels; this class only owns the cross-shard collectives.
     """
 
-    def __init__(self, scene: Scene, axis_name: str, num_shards: int):
+    def __init__(self, scene: Scene, axis_name: str, num_shards: int,
+                 engine=None):
         self.scene = scene
         self.axis = axis_name
         self.num_shards = num_shards
-        self._uni = intersect.unified_arrays(scene) \
-            if scene.num_primitives else None
+        self.engine = DenseBackend(scene) if engine is None else engine
 
     def _global_ranks(self):
         """[P_local] global scan rank of each local primitive."""
@@ -99,37 +122,59 @@ class PrimShardedBackend:
         ])
         return ranks
 
-    def closest_hit(self, o: Array, d: Array):
-        t_grid = intersect.scene_t_grid(o, d, self.scene)  # [R, P_local]
-        idx = jnp.argmin(t_grid, axis=-1).astype(jnp.int32)
-        t_loc = jnp.min(t_grid, axis=-1)
-        rank_loc = self._global_ranks()[idx]
+    def _merge_min(self, t_loc: Array, rank_loc: Array):
+        """Cross-shard (t, global-rank) min with scan-order tie-break.
 
-        t_min = jax.lax.pmin(t_loc, self.axis)
-        cand = (t_loc == t_min) & jnp.isfinite(t_loc)
+        The pmin votes run on stop-gradded values (pmin has no AD rule);
+        returns (t_min sg'd, winner mask, t_diff) where ``t_diff`` equals
+        t_min in value but carries the winning shard's tangents.
+        """
+        ts = jax.lax.stop_gradient(t_loc)
+        t_min = jax.lax.pmin(ts, self.axis)
+        cand = (ts == t_min) & jnp.isfinite(ts)
         rank = jnp.where(cand, rank_loc, _INT_MAX)
         rank_min = jax.lax.pmin(rank, self.axis)
         winner = cand & (rank_loc == rank_min)
+        t_diff = t_min + jax.lax.psum(
+            jnp.where(winner, t_loc - ts, 0.0), self.axis)
+        return t_min, winner, t_diff
 
-        attrs_loc = {k: self._uni[k][idx] for k in _ATTR_KEYS}
-        attrs = {}
-        for k, v in attrs_loc.items():
-            compute_dtype = jnp.float32 if v.dtype != jnp.int32 else jnp.int32
-            w = winner[..., None] if v.ndim > winner.ndim else winner
-            contrib = jnp.where(w, v, 0).astype(compute_dtype)
-            attrs[k] = jax.lax.psum(contrib, self.axis).astype(v.dtype)
+    def closest_hit(self, o: Array, d: Array):
+        t_loc, idx = self.engine.local_closest(o, d)
+        rank_loc = self._global_ranks()[idx]
+        t_min, winner, t_diff = self._merge_min(t_loc, rank_loc)
+
+        # One psum broadcast of the winner's packed attribute row
+        # (zeros contributed by losing shards).
+        rows_loc = self.engine.attr_rows(idx).astype(jnp.float32)
+        rows = jax.lax.psum(jnp.where(winner[..., None], rows_loc, 0.0),
+                            self.axis)
+        attrs = intersect.unpack_attr_rows(rows)
         hit = jnp.isfinite(t_min)
-        return hit, t_min, attrs
+        if getattr(self.engine, "recompute_winner_t", False):
+            # Winner-recompute so the merged distance carries tangents to
+            # poses even when the local engine's t is stop-gradded
+            # (PallasBackend kernels).
+            t_rec = intersect.primitive_t_per_ray(
+                o.astype(jnp.float32), d.astype(jnp.float32), attrs["kind"],
+                attrs["center"], attrs["half_extents"], attrs["inv_rot"])
+            t_out = jnp.where(hit, t_rec, jnp.inf)
+        else:
+            t_out = t_diff  # jnp engine: local t already carries tangents
+        return hit, t_out, attrs
 
     def closest_t(self, o: Array, d: Array) -> Array:
-        t_grid = intersect.scene_t_grid(o, d, self.scene)
-        return jax.lax.pmin(jnp.min(t_grid, axis=-1), self.axis)
+        if getattr(self.engine, "recompute_winner_t", False):
+            _, t, _ = self.closest_hit(o, d)
+            return t
+        t_loc, idx = self.engine.local_closest(o, d)
+        _, _, t_diff = self._merge_min(t_loc, self._global_ranks()[idx])
+        return t_diff
 
     def occluded(self, o, d, limit, skip_target_id=None) -> Array:
-        local = intersect.any_hit_within(o, d, limit, self.scene,
-                                         skip_target_id)
+        local = self.engine.occluded(o, d, limit, skip_target_id)
         return jax.lax.pmax(local.astype(jnp.int32), self.axis) > 0
 
     def permeation_loss(self, o, d, skip_target_id) -> Array:
-        local = intersect.permeation_loss(o, d, self.scene, skip_target_id)
+        local = self.engine.permeation_loss(o, d, skip_target_id)
         return jax.lax.psum(local, self.axis)

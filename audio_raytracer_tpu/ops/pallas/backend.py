@@ -116,6 +116,26 @@ class PallasBackend:
         self._packed = (intersect.packed_unified_table(self._uni)
                         if self.total else None)
 
+    # -- Local-engine protocol (for PrimShardedBackend delegation) ----------
+
+    @property
+    def recompute_winner_t(self) -> bool:
+        """Kernel t values are stop-gradded; a PrimShardedBackend wrapper
+        must recompute the merged winner's t differentiably."""
+        return self.differentiable
+
+    def local_closest(self, o: Array, d: Array):
+        """(t [R] (+inf miss), idx [R] clamped local winner index)."""
+        sg = jax.lax.stop_gradient
+        t, rank = K.run_closest_hit(self._sg_fields, self.counts,
+                                    sg(o.astype(jnp.float32)),
+                                    sg(d.astype(jnp.float32)),
+                                    interpret=self.interpret)
+        return t, jnp.minimum(rank, self.total - 1)
+
+    def attr_rows(self, idx: Array) -> Array:
+        return self._packed[idx]
+
     # -- Backend protocol ---------------------------------------------------
 
     def closest_hit(self, o: Array, d: Array):

@@ -428,8 +428,21 @@ def _grid(rp):
     return (rp // RAY_BLOCK,)
 
 
-def _ray_out(rp, dtype):
-    return jax.ShapeDtypeStruct((rp // RAY_COLS, RAY_COLS), dtype)
+def _ray_out(rp, dtype, vma=frozenset()):
+    return jax.ShapeDtypeStruct((rp // RAY_COLS, RAY_COLS), dtype, vma=vma)
+
+
+def _out_vma(*operands):
+    """Union of the operands' varying-manifest-axes, so pallas_call
+    outputs type-check under shard_map's check_vma (outputs vary over
+    every mesh axis any input varies over)."""
+    vma = frozenset()
+    for group in operands:
+        for a in (group if isinstance(group, (list, tuple)) else [group]):
+            v = getattr(jax.typeof(a), "vma", None)
+            if v:
+                vma |= v
+    return vma
 
 
 def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
@@ -452,12 +465,14 @@ def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
 
     all_names = ray_names + list(fields.keys())
     kernel = functools.partial(closest_hit_kernel, counts, all_names)
+    vma = _out_vma(rays, list(fields.values()))
     t, win = pl.pallas_call(
         kernel,
         grid=_grid(rp),
         in_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(fields),
         out_specs=[_ray_spec(), _ray_spec()],
-        out_shape=[_ray_out(rp, jnp.float32), _ray_out(rp, jnp.int32)],
+        out_shape=[_ray_out(rp, jnp.float32, vma),
+                   _ray_out(rp, jnp.int32, vma)],
         interpret=interpret,
     )(*rays, *fields.values())
     t = _unpack_rays(t, R)
@@ -481,13 +496,14 @@ def run_any_hit(prim_fields: dict, counts, o, d, limit, skip_id,
 
     all_names = ray_names + list(fields.keys())
     kernel = functools.partial(any_hit_kernel, counts, all_names)
+    vma = _out_vma(rays, list(fields.values()), skip)
     occ = pl.pallas_call(
         kernel,
         grid=_grid(rp),
         in_specs=([_ray_spec()] * 7 + [_prim_spec()] * len(fields)
                   + [_prim_spec()]),
         out_specs=_ray_spec(),
-        out_shape=_ray_out(rp, jnp.int32),
+        out_shape=_ray_out(rp, jnp.int32, vma),
         interpret=interpret,
     )(*rays, *fields.values(), skip)
     return _unpack_rays(occ, R) > 0
@@ -507,13 +523,14 @@ def run_chord_loss(prim_fields: dict, counts, o, d, skip_id,
 
     all_names = ray_names + names
     kernel = functools.partial(chord_loss_kernel, counts, all_names)
+    vma = _out_vma(rays, list(prim_fields.values()), skip)
     loss = pl.pallas_call(
         kernel,
         grid=_grid(rp),
         in_specs=([_ray_spec()] * 6 + [_prim_spec()] * len(names)
                   + [_prim_spec()]),
         out_specs=_ray_spec(),
-        out_shape=_ray_out(rp, jnp.float32),
+        out_shape=_ray_out(rp, jnp.float32, vma),
         interpret=interpret,
     )(*rays, *prim_fields.values(), skip)
     return _unpack_rays(loss, R)
@@ -538,7 +555,9 @@ def run_chord_loss_bwd(prim_fields: dict, counts, o, d, skip_id, gbar,
 
     all_names = ray_names + names
     kernel = functools.partial(chord_bwd_kernel, counts, all_names, dens_keys)
-    dens_out = [jax.ShapeDtypeStruct(prim_fields[k].shape, jnp.float32)
+    vma = _out_vma(rays, list(prim_fields.values()), skip)
+    dens_out = [jax.ShapeDtypeStruct(prim_fields[k].shape, jnp.float32,
+                                     vma=vma)
                 for k in dens_keys]
     outs = pl.pallas_call(
         kernel,
@@ -546,7 +565,7 @@ def run_chord_loss_bwd(prim_fields: dict, counts, o, d, skip_id, gbar,
         in_specs=([_ray_spec()] * 7 + [_prim_spec()] * len(names)
                   + [_prim_spec()]),
         out_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(dens_keys),
-        out_shape=[_ray_out(rp, jnp.float32)] * 6 + dens_out,
+        out_shape=[_ray_out(rp, jnp.float32, vma)] * 6 + dens_out,
         interpret=interpret,
     )(*rays, *prim_fields.values(), skip)
     d_o = jnp.stack([_unpack_rays(outs[i], R) for i in range(3)], axis=-1)

@@ -78,3 +78,22 @@ def from_euler_zxy(euler_rad: Array) -> Array:
 
 def normalize(q: Array) -> Array:
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def pack_xyz(q: Array) -> Array:
+    """Store a unit quaternion as xyz only, w reconstructed on unpack.
+
+    The reference's halfQuaternion bandwidth trick
+    (DataTypes/halfQuaternion.cs:7-63): w is recoverable as
+    sqrt(1 - |xyz|^2) once its sign is canonicalized to +; when w < 0 the
+    equivalent quaternion -q is stored instead. Returns [..., 3]
+    (optionally cast to bfloat16 by the caller for the half-width layout).
+    """
+    sign = jnp.where(q[..., 3:4] < 0.0, -1.0, 1.0)
+    return q[..., :3] * sign
+
+
+def unpack_xyz(xyz: Array) -> Array:
+    """Inverse of pack_xyz: [..., 3] -> [..., 4] with w = sqrt(1-|xyz|^2)."""
+    w2 = jnp.maximum(0.0, 1.0 - jnp.sum(xyz * xyz, axis=-1, keepdims=True))
+    return jnp.concatenate([xyz, jnp.sqrt(w2)], axis=-1)

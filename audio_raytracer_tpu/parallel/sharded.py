@@ -79,13 +79,32 @@ def _settings_from_partials(zero_entries, reverb_total, total_hits,
     )
 
 
+def make_local_engine(scene_local, backend: str, differentiable=False):
+    """Local intersection engine for one shard: 'jnp' (DenseBackend) or
+    'pallas' / 'pallas_interpret' (TPU kernels per shard)."""
+    if backend == "jnp":
+        return DenseBackend(scene_local)
+    if backend in ("pallas", "pallas_interpret"):
+        from audio_raytracer_tpu.ops.pallas import PallasBackend
+
+        return PallasBackend(scene_local,
+                             interpret=(backend == "pallas_interpret"),
+                             differentiable=differentiable)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
 def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
-                         return_result: bool = False):
+                         return_result: bool = False,
+                         backend: str = "jnp"):
     """Build the jitted sharded forward step.
 
     Returns ``step(origin, directions, scene) -> TargetSettings`` (or
     ``(TraceResult, TargetSettings)`` with per-shard accumulator rows
     gathered on axis 0 when ``return_result``).
+
+    ``backend`` selects the per-shard intersection engine: "jnp" or
+    "pallas" (each device streams its ray/primitive shard through the
+    Pallas kernels; "pallas_interpret" for CPU-mesh testing).
 
     Requirements: ray_count divisible by the 'rays' axis size; per-type
     primitive counts divisible by the 'prims' axis size (use
@@ -98,17 +117,24 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         f"ray_count {cfg.ray_count} not divisible by {ray_shards} ray shards")
     local_cfg = dataclasses.replace(cfg, num_accum_batches=1)
     prim_sharded = prim_shards > 1
+    # The pallas HLO interpreter (CPU testing) mixes varying/unvarying
+    # values internally; disable shard_map's vma checking there. Real TPU
+    # lowering type-checks fine.
+    check_vma = backend != "pallas_interpret"
+    pvary_axes = ("rays",) if check_vma else ()
 
     def local_step(origin, dirs_local, scene_local):
+        engine = make_local_engine(scene_local, backend)
         if prim_sharded:
-            backend = PrimShardedBackend(scene_local, "prims", prim_shards)
+            backend_ = PrimShardedBackend(scene_local, "prims", prim_shards,
+                                          engine=engine)
         else:
-            backend = DenseBackend(scene_local)
+            backend_ = engine
 
         result = trace_op.trace(origin, dirs_local, scene_local, local_cfg,
-                                backend=backend, pvary_axes=("rays",))
+                                backend=backend_, pvary_axes=pvary_axes)
         perm = permeation_op.permeation(origin, dirs_local, scene_local,
-                                        local_cfg, backend=backend,
+                                        local_cfg, backend=backend_,
                                         total_ray_count=cfg.ray_count)
         result = dataclasses.replace(result, permeation=perm)
 
@@ -143,6 +169,7 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         mesh=mesh,
         in_specs=(P(), P("rays"), scene_pspec(prim_sharded)),
         out_specs=out_specs,
+        check_vma=check_vma,
     )
     return jax.jit(f)
 

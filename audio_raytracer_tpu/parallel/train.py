@@ -21,8 +21,11 @@ from audio_raytracer_tpu.models.differentiable import (
     SceneParams,
     loudness_map,
 )
-from audio_raytracer_tpu.ops.backend import DenseBackend, PrimShardedBackend
-from audio_raytracer_tpu.parallel.sharded import scene_pspec
+from audio_raytracer_tpu.ops.backend import PrimShardedBackend
+from audio_raytracer_tpu.parallel.sharded import (
+    make_local_engine,
+    scene_pspec,
+)
 from audio_raytracer_tpu.types import Materials, Scene, TraceConfig
 
 
@@ -37,26 +40,31 @@ def loudness_pspec() -> Loudness:
 
 
 def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
-                            optimizer=None):
+                            optimizer=None, backend: str = "jnp"):
     """Build ``train_step(params, opt_state, scene, origin, dirs, target)``
     jitted over the mesh. ``scene`` carries geometry (materials are taken
     from ``params``); primitive leaves and params are sharded over 'prims',
-    directions over 'rays', targets replicated."""
+    directions over 'rays', targets replicated. ``backend``: per-shard
+    engine, "jnp" or "pallas" (differentiable kernel tier per shard)."""
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     prim_shards = mesh.shape["prims"]
     prim_sharded = prim_shards > 1
+    check_vma = backend != "pallas_interpret"
+    pvary_axes = ("rays",) if check_vma else ()
 
     def local_loss(params, scene_geom, origin, dirs_local, target):
         scene_local = params.into_scene(scene_geom)
+        engine = make_local_engine(scene_local, backend, differentiable=True)
         if prim_sharded:
-            backend = PrimShardedBackend(scene_local, "prims", prim_shards)
+            backend_ = PrimShardedBackend(scene_local, "prims", prim_shards,
+                                          engine=engine)
         else:
-            backend = DenseBackend(scene_local)
+            backend_ = engine
         pred = loudness_map(origin, dirs_local, scene_local, cfg,
-                            backend=backend, axis_name="rays",
+                            backend=backend_, axis_name="rays",
                             total_ray_count=cfg.ray_count,
-                            pvary_axes=("rays",))
+                            pvary_axes=pvary_axes)
         return (jnp.mean((pred.muffle - target.muffle) ** 2)
                 + jnp.mean((pred.permeation - target.permeation) ** 2)
                 + (pred.reverb_energy - target.reverb_energy) ** 2)
@@ -67,6 +75,7 @@ def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         in_specs=(params_pspec(prim_sharded), scene_pspec(prim_sharded),
                   P(), P("rays"), loudness_pspec()),
         out_specs=P(),
+        check_vma=check_vma,
     )
 
     @jax.jit

@@ -5,6 +5,7 @@ preference, scan-order tie-breaking, muffle target-skip, permeation
 chord accumulation without far clamp.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -201,3 +202,31 @@ class TestReflection:
         np.testing.assert_allclose(np.asarray(d),
                                    np.asarray(_r([1, 1, 0]) / np.sqrt(2)),
                                    atol=1e-6)
+
+
+class TestQuaternionPacking:
+    """halfQuaternion w-reconstruction parity (DataTypes/halfQuaternion.cs)."""
+
+    def test_pack_unpack_roundtrip(self):
+        key = jax.random.key(3)
+        axis = jax.random.normal(key, (32, 3))
+        angle = jax.random.uniform(jax.random.fold_in(key, 1), (32,),
+                                   minval=0.0, maxval=2.0 * np.pi)
+        q = quaternion.from_axis_angle(axis, angle)
+        q2 = quaternion.unpack_xyz(quaternion.pack_xyz(q))
+        # q and -q are the same rotation; compare through a rotated vector.
+        v = jax.random.normal(jax.random.fold_in(key, 2), (32, 3))
+        np.testing.assert_allclose(np.asarray(quaternion.rotate(q, v)),
+                                   np.asarray(quaternion.rotate(q2, v)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_negative_w_canonicalized(self):
+        q = quaternion.from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]),
+                                       jnp.asarray(3.5))  # w = cos(1.75) < 0
+        assert float(q[3]) < 0.0
+        q2 = quaternion.unpack_xyz(quaternion.pack_xyz(q))
+        assert float(q2[3]) >= 0.0
+        v = jnp.asarray([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(np.asarray(quaternion.rotate(q, v)),
+                                   np.asarray(quaternion.rotate(q2, v)),
+                                   rtol=1e-5, atol=1e-5)
