@@ -31,9 +31,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops import intersect, reverb
 from audio_raytracer_tpu.ops.backend import DenseBackend
-from audio_raytracer_tpu.ops.trace import _muffle_visibility
+from audio_raytracer_tpu.ops.trace import _secondary_occlusion
 from audio_raytracer_tpu.types import Materials, Scene, TraceConfig
 from audio_raytracer_tpu.tree import pytree_dataclass
 
@@ -47,6 +47,9 @@ class Loudness:
     muffle: Array  # [T] energy-weighted visibility fraction
     permeation: Array  # [T] mean transmitted power
     reverb_energy: Array  # [] scalar
+    # [n_bins] energy-weighted impulse response over arrival-time bins
+    # (ops/reverb.py; populated when cfg.num_reverb_bins > 0).
+    reverb_ir: Array | None = None
 
 
 @pytree_dataclass
@@ -101,22 +104,18 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
         life = life - jax.lax.stop_gradient(t_safe)
         offset_point = p - d * eps
 
-        # Echo energy contribution.
-        dist_to_origin = intersect.safe_norm(origin - p)
-        ret_dir = (origin - offset_point)
-        ret_dir = intersect.safe_normalize(ret_dir)
-        echo_visible = ~backend.occluded(offset_point, ret_dir,
-                                         jax.lax.stop_gradient(dist_to_origin))
-        echo_contrib = jnp.where(live_hit & echo_visible,
-                                 energy * dist_to_origin * attrs["echo"], 0.0)
-
-        # Muffle energy contribution.
-        if T > 0:
-            vis = _muffle_visibility(offset_point, backend, scene, cfg)
-            muffle_contrib = jnp.where(vis & live_hit[..., None],
-                                       energy[..., None], 0.0)  # [R, T]
-        else:
-            muffle_contrib = jnp.zeros((R, 0), directions.dtype)
+        # Echo + muffle visibility, fused into one primitive stream.
+        # Visibility booleans are straight-through (no tangents); the
+        # energy / distance factors below carry the gradients.
+        dist_to_origin, echo_visible, muffle_visible = _secondary_occlusion(
+            backend, scene, cfg, offset_point, p, origin, live_hit)
+        # Echo value (distance x material echo) and its energy weight,
+        # kept separate so the IR histogram can bin value-by-weight.
+        echo_val = jnp.where(live_hit & echo_visible,
+                             dist_to_origin * attrs["echo"], 0.0)
+        echo_w = jnp.where(live_hit & echo_visible, energy, 0.0)
+        muffle_contrib = jnp.where(muffle_visible & live_hit[..., None],
+                                   energy[..., None], 0.0)  # [R, T]
 
         bounces_done = step + 1
         can_continue = live_hit & (bounces_done < H) & (life > 0.0)
@@ -137,7 +136,7 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
         d = jnp.where(can_continue[..., None], d_new, d)
         life = jnp.where(can_continue, life_new, life)
         return ((o, d, life, alive_next, energy_next),
-                (echo_contrib, muffle_contrib))
+                (t, echo_val, echo_w, muffle_contrib))
 
     o0 = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
     life0 = jnp.full((R,), cfg.max_ray_life, directions.dtype)
@@ -150,31 +149,40 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0, e0))
 
-    _, (echo_c, muffle_c) = jax.lax.scan(
+    _, (t_all, echo_v, echo_w, muffle_c) = jax.lax.scan(
         bounce, (o0, directions, life0, alive0, e0), jnp.arange(H), length=H)
 
     # Permeation (differentiable, per-ray mean — no overwrite quirk here).
-    t_first = backend.closest_t(o0, directions)
+    # The primary-ray first hit is the scan's bounce-0 distance: no second
+    # scene scan, and (via winner-recompute) it carries pose tangents.
+    t_first = t_all[0]
     hit_first = jnp.isfinite(t_first)
     t_sf = jnp.where(hit_first, t_first, 0.0)
     p_first = o0 + directions * t_sf[..., None]
     off = p_first - directions * eps
 
     if T > 0:
-        perm_cols = []
+        dirs = []
         for ti in range(T):
             to_t = scene.target_positions[ti] - off
             dist = intersect.safe_norm(to_t)
-            dirn = to_t / dist[..., None]
-            loss = backend.permeation_loss(off, dirn, skip_target_id=ti)
-            val = cfg.permeation_strength_per_ray - loss / R_total
-            perm_cols.append(jnp.where(hit_first, val, 0.0))
-        perm_sum = jnp.sum(jnp.stack(perm_cols, axis=-1), axis=0)
+            dirs.append(to_t / dist[..., None])
+        losses = backend.multi_permeation_loss(off, dirs,
+                                               tuple(range(T)))  # [R, T]
+        vals = cfg.permeation_strength_per_ray - losses / R_total
+        perm_sum = jnp.sum(jnp.where(hit_first[..., None], vals, 0.0), axis=0)
     else:
         perm_sum = jnp.zeros((0,), directions.dtype)
 
     muffle_sum = jnp.sum(muffle_c, axis=(0, 1))  # [T]
-    echo_sum = jnp.sum(echo_c)
+    echo_sum = jnp.sum(echo_v * echo_w)
+
+    reverb_ir = None
+    if cfg.num_reverb_bins > 0:
+        # Energy-weighted IR histogram (BASELINE config 3), normalized
+        # per ray so it is invariant to the ray budget.
+        reverb_ir = reverb.impulse_response(
+            echo_v, cfg, weights=echo_w, axis_name=axis_name) / R_total
 
     if axis_name is not None:
         muffle_sum = jax.lax.psum(muffle_sum, axis_name)
@@ -185,6 +193,7 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
         muffle=muffle_sum / (R_total * H),
         permeation=perm_sum / R_total * cfg.permeation_effectiveness,
         reverb_energy=echo_sum / (R_total * H * cfg.max_reverb_distance),
+        reverb_ir=reverb_ir,
     )
 
 
@@ -201,9 +210,12 @@ def loudness_loss(params: SceneParams, scene: Scene, origin, directions,
     backend = backend_fn(full_scene) if backend_fn else None
     pred = loudness_map(origin, directions, full_scene, cfg, backend=backend,
                         axis_name=axis_name, total_ray_count=total_ray_count)
-    return (jnp.mean((pred.muffle - target.muffle) ** 2)
+    loss = (jnp.mean((pred.muffle - target.muffle) ** 2)
             + jnp.mean((pred.permeation - target.permeation) ** 2)
             + (pred.reverb_energy - target.reverb_energy) ** 2)
+    if pred.reverb_ir is not None and target.reverb_ir is not None:
+        loss = loss + jnp.mean((pred.reverb_ir - target.reverb_ir) ** 2)
+    return loss
 
 
 def make_train_step(cfg: TraceConfig, optimizer=None):

@@ -17,6 +17,7 @@ import numpy as np
 
 from audio_raytracer_tpu.ops import permeation as permeation_op
 from audio_raytracer_tpu.ops import process as process_op
+from audio_raytracer_tpu.ops import reverb as reverb_op
 from audio_raytracer_tpu.ops import trace as trace_op
 from audio_raytracer_tpu.ops import quaternion
 from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
@@ -59,8 +60,12 @@ def forward(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
     result = trace_op.trace(origin, directions, scene, cfg,
                             collect_debug=collect_debug, backend=be)
     perm = permeation_op.permeation(origin, directions, scene, cfg,
-                                    backend=be)
+                                    backend=be, first_t=result.first_hit_t)
     result = dataclasses.replace(result, permeation=perm)
+    if cfg.num_reverb_bins > 0:
+        result = dataclasses.replace(
+            result, reverb_ir=reverb_op.impulse_response(
+                result.echo_distances, cfg))
     settings = process_op.process(result, scene, cfg)
     return result, settings
 

@@ -27,6 +27,15 @@ Array = jnp.ndarray
 _ATTR_KEYS = ("kind", "center", "half_extents", "inv_rot", "absorption", "echo")
 _INT_MAX = jnp.int32(2**31 - 1)
 
+# "Skip no audio target" sentinel for multi-set occlusion / permeation
+# (real target ids are >= 0; -1 means "prim not owned", so the sentinel
+# must be far below -1 to never match).
+NO_SKIP = -(2**31)
+
+
+def _skip_or_none(skip: int):
+    return None if skip < 0 else skip
+
 
 class DenseBackend:
     """All primitives visible locally (single device or replicated)."""
@@ -83,6 +92,31 @@ class DenseBackend:
         if self.scene.num_primitives == 0:
             return jnp.zeros(o.shape[:-1], o.dtype)
         return intersect.permeation_loss(o, d, self.scene, skip_target_id)
+
+    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
+        """Fused occlusion over S ray sets sharing one origin.
+
+        o: [R,3]; dirs: list of S [R,3]; limits: [R,S]; skips: static
+        tuple (NO_SKIP or a target id per set); init_occ: [R,S] bool
+        pre-resolved lanes. Returns [R,S] bool (init lanes come back
+        True). The jnp tier composes per-set tests; the Pallas tier runs
+        one primitive stream (ops.pallas.fused.multi_any_hit)."""
+        cols = [
+            self.occluded(o, dirs[s], limits[..., s],
+                          skip_target_id=_skip_or_none(skips[s]))
+            | init_occ[..., s]
+            for s in range(len(dirs))
+        ]
+        return jnp.stack(cols, axis=-1)
+
+    def multi_permeation_loss(self, o, dirs, skips) -> Array:
+        """[R, S] permeation chord-loss sums for S target ray sets."""
+        cols = [
+            self.permeation_loss(o, dirs[s],
+                                 skip_target_id=_skip_or_none(skips[s]))
+            for s in range(len(dirs))
+        ]
+        return jnp.stack(cols, axis=-1)
 
 
 class PrimShardedBackend:
@@ -177,4 +211,12 @@ class PrimShardedBackend:
 
     def permeation_loss(self, o, d, skip_target_id) -> Array:
         local = self.engine.permeation_loss(o, d, skip_target_id)
+        return jax.lax.psum(local, self.axis)
+
+    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
+        local = self.engine.multi_occluded(o, dirs, limits, skips, init_occ)
+        return jax.lax.pmax(local.astype(jnp.int32), self.axis) > 0
+
+    def multi_permeation_loss(self, o, dirs, skips) -> Array:
+        local = self.engine.multi_permeation_loss(o, dirs, skips)
         return jax.lax.psum(local, self.axis)

@@ -13,12 +13,12 @@ import jax
 import jax.numpy as jnp
 
 from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops.backend import NO_SKIP
+from audio_raytracer_tpu.ops.pallas import fused as F
 from audio_raytracer_tpu.ops.pallas import kernels as K
 from audio_raytracer_tpu.types import Scene
 
 Array = jnp.ndarray
-
-NO_SKIP = -(2**31)  # "skip nothing" sentinel; real target ids are >= 0
 _ATTR_KEYS = ("kind", "center", "half_extents", "inv_rot", "absorption", "echo")
 
 
@@ -202,3 +202,35 @@ class PallasBackend:
                                 jax.lax.stop_gradient(o.astype(jnp.float32)),
                                 jax.lax.stop_gradient(d.astype(jnp.float32)),
                                 skip, interpret=self.interpret)
+
+    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
+        """Fused S-ray-set occlusion: one primitive stream per ray block
+        (ops.pallas.fused.multi_any_hit). Occlusion booleans are
+        straight-through (inputs severed from AD)."""
+        if self.total == 0:
+            return init_occ
+        sg = jax.lax.stop_gradient
+        return F.run_multi_any_hit(
+            self._sg_fields, self.counts, sg(o.astype(jnp.float32)),
+            [sg(d.astype(jnp.float32)) for d in dirs],
+            sg(limits.astype(jnp.float32)), tuple(skips), init_occ,
+            interpret=self.interpret)
+
+    def multi_permeation_loss(self, o, dirs, skips) -> Array:
+        """Fused S-target permeation (ops.pallas.fused.multi_chord); with
+        ``differentiable=True`` the hand-closed VJP kernel supplies
+        gradients to o, each direction set, and material density."""
+        if self.total == 0:
+            return jnp.zeros(o.shape[:-1] + (len(dirs),), o.dtype)
+        if self.differentiable:
+            from audio_raytracer_tpu.ops.pallas.diff import multi_chord_loss
+
+            return multi_chord_loss(
+                self.counts, tuple(skips), self.interpret,
+                self._chord_fields, o.astype(jnp.float32),
+                tuple(d.astype(jnp.float32) for d in dirs))
+        sg = jax.lax.stop_gradient
+        return F.run_multi_chord(
+            self._sg_fields, self.counts, sg(o.astype(jnp.float32)),
+            [sg(d.astype(jnp.float32)) for d in dirs], tuple(skips),
+            interpret=self.interpret)

@@ -29,11 +29,14 @@ Array = jnp.ndarray
 
 def permeation(origin: Array, directions: Array, scene: Scene,
                cfg: TraceConfig, backend=None,
-               total_ray_count: int | None = None) -> Array:
+               total_ray_count: int | None = None,
+               first_t: Array | None = None) -> Array:
     """[B, T] permeation power remains per (accum batch, target).
 
     ``total_ray_count`` overrides the RayDirections.Length term of
     cs:260 when ``directions`` is a shard of a larger global batch.
+    ``first_t`` (optional, [R]): precomputed primary-ray first-hit
+    distance (TraceResult.first_hit_t) — skips re-scanning the scene.
     """
     R = directions.shape[0]
     R_total = total_ray_count if total_ray_count is not None else R
@@ -47,23 +50,25 @@ def permeation(origin: Array, directions: Array, scene: Scene,
     o = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
     d = directions
 
-    # First hit of the primary ray (closest distance only; cs:101-141).
-    t = backend.closest_t(o, d)
+    # First hit of the primary ray (closest distance only; cs:101-141),
+    # shared with the main trace when available.
+    t = first_t if first_t is not None else backend.closest_t(o, d)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
 
     p = o + d * t_safe[..., None]
     offset_point = p - d * cfg.epsilon  # cs:72
 
-    cols = []
+    # All T target rays in one fused primitive stream (the per-target
+    # loop of cs:57-89 vectorized over targets).
+    dirs = []
     for ti in range(T):
         to_target = scene.target_positions[ti] - offset_point  # [R, 3]
         dist = intersect.safe_norm(to_target)
-        direction = to_target / dist[..., None]
-        loss = backend.permeation_loss(offset_point, direction,
-                                       skip_target_id=ti)
-        cols.append(R_total * cfg.permeation_strength_per_ray - loss)  # cs:260
-    values = jnp.stack(cols, axis=-1)  # [R, T]
+        dirs.append(to_target / dist[..., None])
+    losses = backend.multi_permeation_loss(offset_point, dirs,
+                                           tuple(range(T)))  # [R, T]
+    values = R_total * cfg.permeation_strength_per_ray - losses  # cs:260
 
     # Last-hitting-ray-in-batch selection (the overwrite quirk).
     batch_ids = accum_batch_ids(R, B)

@@ -24,11 +24,13 @@ Pallas kernel tier.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
 from audio_raytracer_tpu.ops import intersect
-from audio_raytracer_tpu.ops.backend import DenseBackend
+from audio_raytracer_tpu.ops.backend import NO_SKIP, DenseBackend
 from audio_raytracer_tpu.types import Scene, TraceConfig, TraceResult
 
 Array = jnp.ndarray
@@ -46,24 +48,39 @@ def accum_batch_ids(ray_count: int, num_batches: int) -> jnp.ndarray:
     return (ray_start * num_batches) // ray_count
 
 
-def _muffle_visibility(offset_point: Array, backend, scene: Scene,
-                       cfg: TraceConfig):
-    """[R, T] bool: target within MaxMuffleHitDistance and unoccluded
-    (skipping the target's own colliders).
+def _secondary_occlusion(backend, scene: Scene, cfg: TraceConfig,
+                         offset_point: Array, p: Array, origin: Array,
+                         live_hit: Array):
+    """Fused per-bounce secondary rays: echo ray back to the listener +
+    one muffle ray per audio target, resolved in ONE backend call (a
+    single primitive stream on the Pallas tier — the structure of the
+    reference's one-pass bounce body, AudioRaytracerJobBatched.cs:104-207).
 
-    Static python loop over targets (T is small and static) so backends
-    built on pallas_call need no vmap batching rule.
+    Returns (dist_to_origin [R], echo_visible [R], muffle_visible [R, T]).
+    Lanes whose test is moot (dead ray; target beyond
+    MaxMuffleHitDistance) are pre-marked occluded so fully-resolved ray
+    blocks skip the primitive stream.
     """
-    tp = scene.target_positions  # [T, 3]
-    cols = []
-    for t in range(tp.shape[0]):
-        to_target = tp[t] - offset_point  # [R, 3]
-        dist = intersect.safe_norm(to_target)  # [R]
-        direction = to_target / dist[..., None]
-        occluded = backend.occluded(offset_point, direction, dist,
-                                    skip_target_id=t)
-        cols.append((dist < cfg.max_muffle_hit_distance) & ~occluded)
-    return jnp.stack(cols, axis=-1)  # [R, T]
+    T = scene.num_targets
+    dist_echo = intersect.safe_norm(origin - p)
+    dirs = [intersect.safe_normalize(origin - offset_point)]
+    limits = [dist_echo]
+    skips = [NO_SKIP]
+    moot = [~live_hit]
+    for t in range(T):
+        to_target = scene.target_positions[t] - offset_point  # [R, 3]
+        dist = intersect.safe_norm(to_target)
+        dirs.append(to_target / dist[..., None])
+        limits.append(dist)
+        skips.append(t)  # skip the target's own colliders (cs:405-449)
+        moot.append(~live_hit | (dist >= cfg.max_muffle_hit_distance))
+    limits = jnp.stack(limits, axis=-1)  # [R, 1 + T]
+    occ = backend.multi_occluded(offset_point, dirs, limits, tuple(skips),
+                                 jnp.stack(moot, axis=-1))
+    echo_visible = ~occ[..., 0]
+    muffle_visible = ((limits[..., 1:] < cfg.max_muffle_hit_distance)
+                      & ~occ[..., 1:])
+    return dist_echo, echo_visible, muffle_visible
 
 
 def _empty_result(R, T, H, cfg, dt, collect_debug):
@@ -117,20 +134,12 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
 
         offset_point = p - d * eps
 
-        # --- Echo ray back to the listener origin (cs:121-147) ---
-        to_origin = origin - offset_point
-        dist_to_origin = intersect.safe_norm(origin - p)
-        ret_dir = intersect.safe_normalize(to_origin)
-        occluded = backend.occluded(offset_point, ret_dir, dist_to_origin)
-        echo_val = jnp.where(live_hit & ~occluded,
+        # --- Echo ray (cs:121-147) + muffle rays (cs:150-175), fused ---
+        dist_to_origin, echo_visible, muffle_visible = _secondary_occlusion(
+            backend, scene, cfg, offset_point, p, origin, live_hit)
+        echo_val = jnp.where(live_hit & echo_visible,
                              dist_to_origin * attrs["echo"], 0.0)
-
-        # --- Muffle rays to every audio target (cs:150-175) ---
-        if T > 0:
-            vis = _muffle_visibility(offset_point, backend, scene, cfg)
-            muffle_inc = vis & live_hit[..., None]
-        else:
-            muffle_inc = jnp.zeros((R, 0), bool)
+        muffle_inc = muffle_visible & live_hit[..., None]
 
         # --- Termination + reflection (cs:179-193, 456-532) ---
         bounces_done = step + 1
@@ -148,7 +157,7 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         d = jnp.where(can_continue[..., None], d_new, d)
         life = jnp.where(can_continue, life_new, life)
 
-        outputs = (echo_val, muffle_inc, live_hit, p)
+        outputs = (t, echo_val, muffle_inc, live_hit, p)
         return (o, d, life, alive_next), outputs
 
     o0 = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
@@ -162,8 +171,8 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0))
 
-    (_, _, _, _), (echo, muffle_inc, hit_mask, hit_points) = jax.lax.scan(
-        bounce, (o0, d0, life0, alive0), jnp.arange(H), length=H)
+    (_, _, _, _), (t_all, echo, muffle_inc, hit_mask, hit_points) = \
+        jax.lax.scan(bounce, (o0, d0, life0, alive0), jnp.arange(H), length=H)
 
     # scan stacks outputs on axis 0 = bounce slot; reorder to [R, H].
     echo = jnp.moveaxis(echo, 0, 1)  # [R, H]
@@ -179,12 +188,14 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         echo_distances=echo,
         muffle_hits=muffle_hits,
         permeation=jnp.zeros((cfg.num_accum_batches, T), directions.dtype),
+        # Primary-ray first hit: reused by ops.permeation so the
+        # permeation job does not re-scan the scene for it
+        # (AudioPermeationJobBatched.cs:101-141 recomputes; we share).
+        first_hit_t=t_all[0],
     )
     if collect_debug:
-        result = TraceResult(
-            echo_distances=echo,
-            muffle_hits=muffle_hits,
-            permeation=result.permeation,
+        result = dataclasses.replace(
+            result,
             hit_points=jnp.moveaxis(hit_points, 0, 1),
             hit_counts=jnp.sum(hit_mask.astype(jnp.int32), axis=-1),
         )

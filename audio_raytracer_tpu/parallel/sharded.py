@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from audio_raytracer_tpu.ops import permeation as permeation_op
+from audio_raytracer_tpu.ops import reverb as reverb_op
 from audio_raytracer_tpu.ops import trace as trace_op
 from audio_raytracer_tpu.ops.backend import DenseBackend, PrimShardedBackend
 from audio_raytracer_tpu.types import (
@@ -135,8 +136,15 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
                                 backend=backend_, pvary_axes=pvary_axes)
         perm = permeation_op.permeation(origin, dirs_local, scene_local,
                                         local_cfg, backend=backend_,
-                                        total_ray_count=cfg.ray_count)
+                                        total_ray_count=cfg.ray_count,
+                                        first_t=result.first_hit_t)
         result = dataclasses.replace(result, permeation=perm)
+        if cfg.num_reverb_bins > 0:
+            # Per-shard IR histogram psum-reduced over the ray axis
+            # (exactly like the muffle/permeation accumulators).
+            result = dataclasses.replace(
+                result, reverb_ir=reverb_op.impulse_response(
+                    result.echo_distances, cfg, axis_name="rays"))
 
         echo = result.echo_distances
         dt = echo.dtype
@@ -159,6 +167,8 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         echo_distances=P("rays"),
         muffle_hits=P("rays"),  # [ray_shards, T] accum-batch rows
         permeation=P("rays"),
+        first_hit_t=P("rays"),
+        reverb_ir=P() if cfg.num_reverb_bins > 0 else None,
         hit_points=None,
         hit_counts=None,
     )

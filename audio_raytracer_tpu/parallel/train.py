@@ -35,8 +35,9 @@ def params_pspec(prim_sharded: bool) -> SceneParams:
     return SceneParams(sphere=mat, aabb=mat, obb=mat)
 
 
-def loudness_pspec() -> Loudness:
-    return Loudness(muffle=P(), permeation=P(), reverb_energy=P())
+def loudness_pspec(with_ir: bool = False) -> Loudness:
+    return Loudness(muffle=P(), permeation=P(), reverb_energy=P(),
+                    reverb_ir=P() if with_ir else None)
 
 
 def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
@@ -73,7 +74,7 @@ def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         local_loss,
         mesh=mesh,
         in_specs=(params_pspec(prim_sharded), scene_pspec(prim_sharded),
-                  P(), P("rays"), loudness_pspec()),
+                  P(), P("rays"), loudness_pspec(cfg.num_reverb_bins > 0)),
         out_specs=P(),
         check_vma=check_vma,
     )

@@ -12,14 +12,47 @@ scheduled by XLA.
 
 from __future__ import annotations
 
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from audio_raytracer_tpu.models.raytracer import forward
 from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
 from audio_raytracer_tpu.types import TargetSettings, TraceConfig
+
+
+class _HostSentinel:
+    """Non-blocking completion probe for an in-flight device computation.
+
+    ``jax.Array.is_ready()`` can fire before compute completes on relayed
+    device platforms (see utils/profiling.sync) — the only trustworthy
+    completion signal is a host transfer finishing. A daemon thread
+    performs that blocking one-element transfer; ``done()`` polls it
+    without blocking the frame loop. This is the JobHandle.IsCompleted
+    analog (Audio/AudioRayTracer.cs:95) with honest semantics.
+    """
+
+    def __init__(self, tree):
+        self._done = threading.Event()
+        self.elapsed_ms: float | None = None
+        t0 = time.perf_counter()
+        leaf = jax.tree.leaves(tree)[0]
+
+        def _wait():
+            np.asarray(leaf)  # blocks until compute + transfer complete
+            self.elapsed_ms = (time.perf_counter() - t0) * 1e3
+            self._done.set()
+
+        threading.Thread(target=_wait, daemon=True).start()
+
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def wait(self):
+        self._done.wait()
 
 
 class AsyncRaytraceLoop:
@@ -45,6 +78,7 @@ class AsyncRaytraceLoop:
 
         self._step = jax.jit(step)
         self._in_flight = None
+        self._sentinel = None
         self._latest = None
 
         # Instrumentation (the raytracerMs / batchCycleMs stopwatches,
@@ -53,29 +87,24 @@ class AsyncRaytraceLoop:
         self.batch_cycle_ms = 0.0
         self.frames_dispatched = 0
         self.frames_harvested = 0
-        self._dispatch_time = None
-
-    def _is_ready(self, settings) -> bool:
-        try:
-            return all(leaf.is_ready() for leaf in jax.tree.leaves(settings))
-        except AttributeError:
-            return True
 
     def tick(self, origin) -> TargetSettings | None:
         """One frame: harvest if complete, re-sync scene, dispatch next."""
-        # 1. Harvest (the mainJobHandle.Complete() analog).
+        # 1. Harvest (the mainJobHandle.Complete() analog). Completion is
+        # probed via a host-transfer sentinel thread, never is_ready()
+        # (which fires early on relayed platforms — _HostSentinel).
         if self._in_flight is not None:
-            if self.compute_async and not self._is_ready(self._in_flight):
+            if self.compute_async and not self._sentinel.done():
                 # Frame-skip: job still running (AudioRayTracer.cs:95).
                 return self._latest
             if not self.compute_async:
-                jax.block_until_ready(self._in_flight)
+                self._sentinel.wait()
             self._latest = self._in_flight
             self._in_flight = None
             self.frames_harvested += 1
-            if self._dispatch_time is not None:
-                self.raytracer_ms = (time.perf_counter()
-                                     - self._dispatch_time) * 1e3
+            if self._sentinel.elapsed_ms is not None:
+                self.raytracer_ms = self._sentinel.elapsed_ms
+            self._sentinel = None
 
         # 2. Publish scene mutations (UpdateJobBatch, cs:154-155).
         t0 = time.perf_counter()
@@ -86,6 +115,6 @@ class AsyncRaytraceLoop:
         if scene.num_targets > 0:
             self._in_flight = self._step(
                 jnp.asarray(origin, jnp.float32), self._directions, scene)
-            self._dispatch_time = time.perf_counter()
+            self._sentinel = _HostSentinel(self._in_flight)
             self.frames_dispatched += 1
         return self._latest

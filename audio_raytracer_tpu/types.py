@@ -267,6 +267,12 @@ class TraceConfig:
     # Compute dtype for the hot kernels (storage/compute precision knob;
     # the reference uses half storage + float compute).
     compute_dtype: str = "float32"
+    # Reverb impulse-response accumulation (BASELINE config 3): number of
+    # arrival-time bins (0 = disabled) and the echo-distance window the
+    # bins span (converted to delay via ops.reverb.SPEED_OF_SOUND;
+    # default = the reference's maxRayLife distance scale).
+    num_reverb_bins: int = 0
+    ir_max_distance: float = 125.0
 
     @property
     def max_hits_per_ray(self) -> int:
@@ -291,6 +297,12 @@ class TraceResult:
                                   target (AudioRaytracerJobBatched.cs:150-175).
     ``permeation``      [B, T]  — per-accum-batch permeation power remains
                                   (AudioPermeationJobBatched.cs:57-89).
+    ``first_hit_t``     [R]     (optional) — primary-ray first-hit distance
+                                  (+inf = miss), shared with the permeation
+                                  job so it needs no second scene scan.
+    ``reverb_ir``       [n_bins] (optional) — echo-energy impulse response
+                                  over arrival-time bins (ops/reverb.py;
+                                  cfg.num_reverb_bins > 0 enables it).
     ``hit_points``      [R, H, 3] (optional, debug) — bounce positions
                                   (editor-only RayHitResults analog).
     ``hit_counts``      [R]     (optional, debug) — bounces per ray.
@@ -299,6 +311,8 @@ class TraceResult:
     echo_distances: Array
     muffle_hits: Array
     permeation: Array
+    first_hit_t: Array | None = None
+    reverb_ir: Array | None = None
     hit_points: Array | None = None
     hit_counts: Array | None = None
 

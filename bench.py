@@ -1,7 +1,11 @@
-"""Benchmark harness: rays/s/chip on the flagship forward (and backward).
+"""Benchmark harness: rays/s/chip on the flagship forward and fwd+bwd.
 
-Prints ONE JSON line:
+Prints ONE JSON line per record:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Default workload is the BASELINE north-star headline: 1M rays x 4K mixed
+primitives x 5 hits x 4 targets, forward AND forward+backward (--mode
+both). Override with --rays/--prims/--mode.
 
 Baseline note: the reference (FirePixel8422/Audio-Raytracer) publishes no
 benchmark numbers (BASELINE.md). The only throughput its defaults define
@@ -9,118 +13,241 @@ is the real-time envelope: 500 rays/frame at 60 fps = 30,000 rays/s on a
 desktop CPU (Player.prefab rayCount, Unity frame loop). ``vs_baseline``
 is measured rays/s against that envelope.
 
-Default workload approximates BASELINE config 3 at single-chip scale:
-mixed AABB/OBB/sphere scene, multi-bounce (depth 4), echo + muffle +
-permeation; scale up with --rays/--prims toward the 1M x 4K headline.
+--mesh RxP runs the shard_map'd forward over an R x P ('rays','prims')
+device mesh and reports rays/s plus scaling efficiency vs the single
+-device run (uses the available devices; for multi-device scaling on this
+single-chip box run under JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=N). The default run also
+spawns one small CPU-mesh subprocess to record an 8-device scaling
+-efficiency number alongside the chip numbers (--no-scaling to skip).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 REFERENCE_ENVELOPE_RAYS_PER_S = 30_000.0  # 500 rays x 60 fps (see above)
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--rays", type=int, default=262_144)
-    p.add_argument("--prims", type=int, default=512)
-    p.add_argument("--targets", type=int, default=4)
-    p.add_argument("--bounces", type=int, default=4)
-    p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--mode", choices=["fwd", "fwd_bwd"], default="fwd")
-    p.add_argument("--backend", choices=["auto", "jnp", "pallas"],
-                   default="auto")
-    args = p.parse_args()
+def _drain(out):
+    """Force completion via a host transfer: through the device relay
+    block_until_ready returns before compute finishes; fetching a value
+    cannot."""
+    import jax
+    import numpy as np
 
+    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
+def _time_step(step, origin, dirs, scene, iters):
+    import jax.numpy as jnp
+
+    _drain(step(origin, dirs, scene))  # warmup / compile
+    times = []
+    for i in range(iters):
+        o_i = origin + jnp.float32(i) * 1e-6
+        t0 = time.perf_counter()
+        _drain(step(o_i, dirs, scene))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]  # median
+
+
+def _emit(metric, rays_per_s, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / REFERENCE_ENVELOPE_RAYS_PER_S, 2),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _build_inputs(args):
     import jax
     import jax.numpy as jnp
 
-    from audio_raytracer_tpu.models.raytracer import forward, random_scene
+    from audio_raytracer_tpu.models.raytracer import random_scene
     from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
     from audio_raytracer_tpu.types import TraceConfig
 
     n_s = args.prims // 4
     n_o = args.prims // 4
     n_a = args.prims - n_s - n_o
-
     cfg = TraceConfig(ray_count=args.rays, max_bounces=args.bounces,
-                      max_ray_life=300.0, max_muffle_hit_distance=250.0)
+                      max_ray_life=300.0, max_muffle_hit_distance=250.0,
+                      compute_dtype=args.dtype)
     scene = random_scene(jax.random.key(0), num_spheres=n_s, num_aabbs=n_a,
                          num_obbs=n_o, num_targets=args.targets,
                          extent=60.0, size_range=(0.5, 4.0))
     origin = jnp.zeros((3,), jnp.float32)
     dirs = fibonacci_directions(args.rays)
+    return cfg, scene, origin, dirs
+
+
+def _bench_fwd(args, cfg, scene, origin, dirs, backend):
+    import jax
+
+    from audio_raytracer_tpu.models.raytracer import forward
+
+    @jax.jit
+    def step(origin, dirs, scene):
+        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        return settings
+
+    dt = _time_step(step, origin, dirs, scene, args.iters)
+    _emit("rays_per_s_per_chip_fwd", args.rays / dt,
+          {"step_ms": round(dt * 1e3, 2)})
+    return dt
+
+
+def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend):
+    import jax
+    import jax.numpy as jnp
+
+    from audio_raytracer_tpu.models.differentiable import (
+        Loudness,
+        SceneParams,
+        loudness_loss,
+    )
+
+    params = SceneParams.from_scene(scene)
+    target = Loudness(muffle=jnp.full((args.targets,), 0.3),
+                      permeation=jnp.full((args.targets,), 0.2),
+                      reverb_energy=jnp.asarray(0.05))
+
+    backend_fn = None
+    if backend == "pallas":
+        from audio_raytracer_tpu.ops.pallas import PallasBackend
+
+        def backend_fn(s):
+            return PallasBackend(s, differentiable=True)
+
+    @jax.jit
+    def step(origin, dirs, scene):
+        return jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
+                                       target, backend_fn=backend_fn)
+
+    dt = _time_step(step, origin, dirs, scene, args.iters)
+    _emit("rays_per_s_per_chip_fwd_bwd", args.rays / dt,
+          {"step_ms": round(dt * 1e3, 2)})
+    return dt
+
+
+def _bench_mesh(args, cfg, scene, origin, dirs, backend):
+    """Sharded forward over an R x P mesh + efficiency vs one device."""
+    import dataclasses
+
+    import jax
+
+    from audio_raytracer_tpu.models.raytracer import forward
+    from audio_raytracer_tpu.parallel.mesh import (
+        make_mesh,
+        pad_scene_for_prim_shards,
+    )
+    from audio_raytracer_tpu.parallel.sharded import make_sharded_forward
+
+    ray_shards, prim_shards = (int(x) for x in args.mesh.split("x"))
+    n_dev = ray_shards * prim_shards
+    devs = jax.devices()
+    assert len(devs) >= n_dev, f"need {n_dev} devices, have {len(devs)}"
+
+    # Single-device reference.
+    @jax.jit
+    def one_dev(origin, dirs, scene):
+        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        return settings
+
+    dt1 = _time_step(one_dev, origin, dirs, scene, args.iters)
+
+    mesh = make_mesh(ray_shards=ray_shards, prim_shards=prim_shards,
+                     devices=devs[:n_dev])
+    scene_p = pad_scene_for_prim_shards(scene, prim_shards)
+    cfg_m = dataclasses.replace(cfg, num_accum_batches=ray_shards)
+    step = make_sharded_forward(cfg_m, mesh,
+                                backend=("pallas_interpret"
+                                         if backend == "pallas"
+                                         and devs[0].platform == "cpu"
+                                         else backend))
+    dtn = _time_step(step, origin, dirs, scene_p, args.iters)
+
+    eff = dt1 / (dtn * n_dev)
+    _emit(f"rays_per_s_mesh_{ray_shards}x{prim_shards}", args.rays / dtn,
+          {"step_ms": round(dtn * 1e3, 2),
+           "scaling_efficiency_vs_1dev": round(eff, 4),
+           "platform": devs[0].platform})
+
+
+def _spawn_cpu_scaling(py_args):
+    """Record a multi-device scaling number on a forced CPU mesh (this box
+    has one TPU chip; the mesh path is validated on virtual devices)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--mesh", "8x1", "--rays", "65536", "--prims", "256",
+           "--iters", "3", "--backend", "jnp", "--no-scaling"]
+    try:
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=600)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if out.returncode != 0:
+            print(f"# cpu scaling run failed: {out.stderr[-400:]}",
+                  file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("# cpu scaling run timed out", file=sys.stderr)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rays", type=int, default=1_048_576)
+    p.add_argument("--prims", type=int, default=4096)
+    p.add_argument("--targets", type=int, default=4)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--mode", choices=["both", "fwd", "fwd_bwd"],
+                   default="both")
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"],
+                   default="auto")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="RxP device mesh, e.g. 4x2 (reports scaling "
+                        "efficiency vs 1 device)")
+    p.add_argument("--no-scaling", action="store_true",
+                   help="skip the auxiliary CPU-mesh scaling record")
+    args = p.parse_args()
+
+    import jax
 
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
 
-    if args.mode == "fwd":
-        @jax.jit
-        def step(origin, dirs, scene):
-            _, settings = forward(origin, dirs, scene, cfg, backend=backend)
-            return settings
+    cfg, scene, origin, dirs = _build_inputs(args)
 
-        metric = "rays_per_s_per_chip_fwd"
-    else:
-        from audio_raytracer_tpu.models.differentiable import (
-            Loudness,
-            SceneParams,
-            loudness_loss,
-        )
+    if args.mesh:
+        _bench_mesh(args, cfg, scene, origin, dirs, backend)
+        return
 
-        params = SceneParams.from_scene(scene)
-        target = Loudness(muffle=jnp.full((args.targets,), 0.3),
-                          permeation=jnp.full((args.targets,), 0.2),
-                          reverb_energy=jnp.asarray(0.05))
+    if args.mode in ("both", "fwd"):
+        _bench_fwd(args, cfg, scene, origin, dirs, backend)
+    if args.mode in ("both", "fwd_bwd"):
+        _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
+    if args.mode == "both" and not args.no_scaling:
+        _spawn_cpu_scaling(args)
 
-        backend_fn = None
-        if backend == "pallas":
-            from audio_raytracer_tpu.ops.pallas import PallasBackend
-
-            def backend_fn(s):
-                return PallasBackend(s, differentiable=True)
-
-        @jax.jit
-        def step(origin, dirs, scene):
-            return jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
-                                           target, backend_fn=backend_fn)
-
-        metric = "rays_per_s_per_chip_fwd_bwd"
-
-    import numpy as np
-
-    def drain(out):
-        """Force completion via a host transfer: through the device relay
-        block_until_ready returns before compute finishes; fetching a
-        value cannot."""
-        return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-
-    # Warmup / compile.
-    drain(step(origin, dirs, scene))
-
-    # Time with distinct inputs and a true sync per iteration.
-    times = []
-    for i in range(args.iters):
-        o_i = origin + jnp.float32(i) * 1e-6
-        t0 = time.perf_counter()
-        drain(step(o_i, dirs, scene))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # median
-
-    rays_per_s = args.rays / dt
-    print(json.dumps({
-        "metric": metric,
-        "value": round(rays_per_s, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / REFERENCE_ENVELOPE_RAYS_PER_S, 2),
-    }))
-    print(f"# step {dt * 1e3:.2f} ms | {args.rays} rays x {args.prims} prims "
-          f"x {args.bounces + 1} hits x {args.targets} targets | "
+    print(f"# {args.rays} rays x {args.prims} prims x {args.bounces + 1} "
+          f"hits x {args.targets} targets | backend {backend} | "
           f"device {jax.devices()[0].device_kind}", file=sys.stderr)
 
 

@@ -1,0 +1,66 @@
+"""Multi-process (multi-host analog) shard invariance.
+
+Two OS processes x 4 virtual CPU devices each join a jax.distributed
+cluster (Gloo collectives — the DCN analog), run the sharded forward over
+a hosts-major ('rays','prims') mesh, and the result must match the
+single-process dense forward on the identical scene. SURVEY.md §2.7 /
+BASELINE config 5.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_raytracer_tpu.models.raytracer import forward, random_scene
+from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+from audio_raytracer_tpu.parallel import distributed
+from audio_raytracer_tpu.parallel.mesh import pad_scene_for_prim_shards
+from audio_raytracer_tpu.types import TraceConfig
+
+RAY_COUNT = 64
+PRIM_SHARDS = 2
+
+
+def _dense_reference():
+    """The same workload _dist_worker runs, on one process, dense."""
+    cfg = TraceConfig(ray_count=RAY_COUNT, max_bounces=3,
+                      max_ray_life=150.0, num_accum_batches=4,
+                      num_reverb_bins=8, ir_max_distance=80.0)
+    scene = pad_scene_for_prim_shards(
+        random_scene(jax.random.key(42), num_spheres=6, num_aabbs=10,
+                     num_obbs=8, num_targets=2, extent=14.0,
+                     size_range=(1.0, 4.0)), PRIM_SHARDS)
+    _, settings = forward(jnp.zeros(3), fibonacci_directions(RAY_COUNT),
+                          scene, cfg)
+    return settings
+
+
+class TestTwoProcessCluster:
+    def test_matches_single_process(self):
+        got = distributed.run_two_process_check(
+            ray_count=RAY_COUNT, local_devices=4, prim_shards=PRIM_SHARDS,
+            port=9935)
+        want = _dense_reference()
+        np.testing.assert_allclose(got["muffle"], np.asarray(want.muffle),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["reverb_strength"],
+                                   np.asarray(want.reverb_strength),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["reverb_volume"],
+                                   np.asarray(want.reverb_volume),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestMeshLayout:
+    def test_prims_axis_never_crosses_hosts(self):
+        # With a single process the helper still builds a valid mesh.
+        mesh = distributed.make_distributed_mesh(
+            prim_shards=2, devices=jax.devices()[:8])
+        assert mesh.shape == {"rays": 4, "prims": 2}
+        devs = np.asarray(mesh.devices)
+        for row in devs:
+            assert len({d.process_index for d in row}) == 1
+
+    def test_local_ray_slice_single_process(self):
+        s = distributed.local_ray_slice(128)
+        assert (s.start, s.stop) == (0, 128)

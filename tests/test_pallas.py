@@ -112,6 +112,120 @@ class TestKernelParity:
                 rtol=1e-5, err_msg=kind)
 
 
+class TestFusedKernels:
+    """The fused multi-ray-set kernels (ops.pallas.fused) vs the composed
+    dense per-set tests: identical occlusion decisions and chord sums."""
+
+    def _sets(self, scene, rays):
+        o, d = rays
+        R = o.shape[0]
+        origin_pt = jnp.asarray([1.0, 2.0, 0.5])
+        # Ray sets from a bounce-like offset point: one echo + per-target.
+        off = o + d * 3.0
+        from audio_raytracer_tpu.ops import intersect
+        from audio_raytracer_tpu.ops.backend import NO_SKIP
+
+        dirs = [intersect.safe_normalize(origin_pt - off)]
+        limits = [intersect.safe_norm(origin_pt - off)]
+        skips = [NO_SKIP]
+        for t in range(scene.num_targets):
+            to_t = scene.target_positions[t] - off
+            dist = intersect.safe_norm(to_t)
+            dirs.append(to_t / dist[..., None])
+            limits.append(dist)
+            skips.append(t)
+        return off, dirs, jnp.stack(limits, -1), tuple(skips)
+
+    def test_multi_any_hit(self, scene, rays):
+        off, dirs, limits, skips = self._sets(scene, rays)
+        R, S = limits.shape
+        dense = DenseBackend(scene)
+        pal = PallasBackend(scene, interpret=True)
+        init = jnp.zeros((R, S), bool)
+        occ_d = dense.multi_occluded(off, dirs, limits, skips, init)
+        occ_p = pal.multi_occluded(off, dirs, limits, skips, init)
+        np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_p))
+        # Pre-resolved lanes must come back occluded in both tiers.
+        init2 = jnp.zeros((R, S), bool).at[::3, 0].set(True)
+        occ_d2 = dense.multi_occluded(off, dirs, limits, skips, init2)
+        occ_p2 = pal.multi_occluded(off, dirs, limits, skips, init2)
+        np.testing.assert_array_equal(np.asarray(occ_d2), np.asarray(occ_p2))
+        assert bool(jnp.all(occ_p2[::3, 0]))
+
+    def test_multi_any_hit_block_skip(self, scene, rays):
+        # A fully pre-resolved block returns init bits untouched.
+        off, dirs, limits, skips = self._sets(scene, rays)
+        R, S = limits.shape
+        init = jnp.ones((R, S), bool)
+        pal = PallasBackend(scene, interpret=True)
+        occ = pal.multi_occluded(off, dirs, limits, skips, init)
+        np.testing.assert_array_equal(np.asarray(occ), np.ones((R, S), bool))
+
+    def test_multi_chord(self, scene, rays):
+        off, dirs, _, _ = self._sets(scene, rays)
+        skips = tuple(range(scene.num_targets))
+        dirs = dirs[1:]  # target sets only, like ops.permeation
+        dense = DenseBackend(scene)
+        pal = PallasBackend(scene, interpret=True)
+        l_d = dense.multi_permeation_loss(off, dirs, skips)
+        l_p = pal.multi_permeation_loss(off, dirs, skips)
+        np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_p),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_multi_chord_bwd_matches_dense_ad(self, scene, rays):
+        """Hand-closed adjoint kernel vs jax.grad through the jnp tier."""
+        off, dirs, _, _ = self._sets(scene, rays)
+        skips = tuple(range(scene.num_targets))
+        dirs = tuple(dirs[1:])
+        key = jax.random.key(3)
+        gbar = jax.random.normal(key, (off.shape[0], len(dirs)))
+
+        def dense_sum(o, ds, dens_s, dens_a, dens_o):
+            import dataclasses as dc
+            sc = scene.replace(
+                spheres=dc.replace(
+                    scene.spheres,
+                    material=dc.replace(scene.spheres.material,
+                                        density=dens_s)),
+                aabbs=dc.replace(
+                    scene.aabbs,
+                    material=dc.replace(scene.aabbs.material,
+                                        density=dens_a)),
+                obbs=dc.replace(
+                    scene.obbs,
+                    material=dc.replace(scene.obbs.material,
+                                        density=dens_o)))
+            loss = DenseBackend(sc).multi_permeation_loss(o, list(ds), skips)
+            return jnp.sum(loss * gbar)
+
+        def pallas_sum(o, ds, dens_s, dens_a, dens_o):
+            import dataclasses as dc
+            sc = scene.replace(
+                spheres=dc.replace(
+                    scene.spheres,
+                    material=dc.replace(scene.spheres.material,
+                                        density=dens_s)),
+                aabbs=dc.replace(
+                    scene.aabbs,
+                    material=dc.replace(scene.aabbs.material,
+                                        density=dens_a)),
+                obbs=dc.replace(
+                    scene.obbs,
+                    material=dc.replace(scene.obbs.material,
+                                        density=dens_o)))
+            be = PallasBackend(sc, interpret=True, differentiable=True)
+            loss = be.multi_permeation_loss(o, list(ds), skips)
+            return jnp.sum(loss * gbar)
+
+        args = (off, dirs, scene.spheres.material.density,
+                scene.aabbs.material.density, scene.obbs.material.density)
+        g_d = jax.grad(dense_sum, argnums=(0, 1, 2, 3, 4))(*args)
+        g_p = jax.grad(pallas_sum, argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
 class TestForwardParity:
     def test_full_forward_matches_dense(self, scene):
         cfg = TraceConfig(ray_count=64, max_bounces=3, max_ray_life=150.0,
