@@ -35,13 +35,16 @@ from audio_raytracer_tpu.types import (
 Array = jnp.ndarray
 
 
-def _make_backend(scene: Scene, backend: str):
+def _make_backend(scene: Scene, backend: str, cfg: TraceConfig | None = None):
     if backend == "jnp" or scene.num_primitives == 0:
         return None  # trace/permeation default to DenseBackend
     if backend in ("pallas", "pallas_interpret"):
         from audio_raytracer_tpu.ops.pallas import PallasBackend
 
-        return PallasBackend(scene, interpret=(backend == "pallas_interpret"))
+        dtype = cfg.compute_jnp_dtype if cfg is not None else None
+        return PallasBackend(scene, interpret=(backend == "pallas_interpret"),
+                             **({} if dtype is None
+                                else {"compute_dtype": dtype}))
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -56,7 +59,7 @@ def forward(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
     ``backend``: "jnp" (XLA-fused baseline) or "pallas" (streaming TPU
     kernels; "pallas_interpret" for CPU debugging).
     """
-    be = _make_backend(scene, backend)
+    be = _make_backend(scene, backend, cfg)
     result = trace_op.trace(origin, directions, scene, cfg,
                             collect_debug=collect_debug, backend=be)
     perm = permeation_op.permeation(origin, directions, scene, cfg,

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from audio_raytracer_tpu.ops import intersect
+from audio_raytracer_tpu.ops import quaternion
 from audio_raytracer_tpu.ops.backend import NO_SKIP
 from audio_raytracer_tpu.ops.pallas import fused as F
 from audio_raytracer_tpu.ops.pallas import kernels as K
@@ -39,10 +40,18 @@ class PallasBackend:
     """
 
     def __init__(self, scene: Scene, interpret: bool = False,
-                 differentiable: bool = False):
+                 differentiable: bool = False,
+                 compute_dtype=jnp.float32):
         self.scene = scene
         self.interpret = interpret
         self.differentiable = differentiable
+        # bf16 = the 2x-throughput reduced-precision tier (the TPU analog
+        # of the reference's half storage, ColliderAABBStruct.cs:10-11).
+        # Only the non-differentiable forward kernels honor it; the
+        # custom-VJP chord path stays f32 so FD gradient checks hold.
+        self.compute_dtype = jnp.dtype(compute_dtype).type
+        if differentiable:
+            self.compute_dtype = jnp.float32
 
         sp, ab, ob = scene.spheres, scene.aabbs, scene.obbs
         ns, na, no = sp.count, ab.count, ob.count
@@ -78,6 +87,11 @@ class PallasBackend:
                 a_dens=col(ab.material.density),
             )
         if no:
+            # World->local rotation baked to matrix rows: the kernels
+            # rotate with 9 SMEM scalars / 15 fused mul-adds per vector
+            # (quaternion.to_matrix of the pre-inverted quaternion,
+            # mirroring AudioOBBCollider.cs:59's bake-time inverse).
+            M = quaternion.to_matrix(jnp.asarray(ob.inv_rot, f32))
             fields.update(
                 o_cx=col(ob.center[:, 0]),
                 o_cy=col(ob.center[:, 1]),
@@ -85,10 +99,12 @@ class PallasBackend:
                 o_hx=col(ob.half_extents[:, 0]),
                 o_hy=col(ob.half_extents[:, 1]),
                 o_hz=col(ob.half_extents[:, 2]),
-                o_qx=col(ob.inv_rot[:, 0]),
-                o_qy=col(ob.inv_rot[:, 1]),
-                o_qz=col(ob.inv_rot[:, 2]),
-                o_qw=col(ob.inv_rot[:, 3]),
+                o_m00=col(M[:, 0, 0]), o_m01=col(M[:, 0, 1]),
+                o_m02=col(M[:, 0, 2]),
+                o_m10=col(M[:, 1, 0]), o_m11=col(M[:, 1, 1]),
+                o_m12=col(M[:, 1, 2]),
+                o_m20=col(M[:, 2, 0]), o_m21=col(M[:, 2, 1]),
+                o_m22=col(M[:, 2, 2]),
                 o_miss=col(jnp.where(ob.active, 0.0, jnp.inf)),
                 o_tgt=col(ob.target_id, dtype=jnp.int32),
                 o_dens=col(ob.material.density),
@@ -130,7 +146,8 @@ class PallasBackend:
         t, rank = K.run_closest_hit(self._sg_fields, self.counts,
                                     sg(o.astype(jnp.float32)),
                                     sg(d.astype(jnp.float32)),
-                                    interpret=self.interpret)
+                                    interpret=self.interpret,
+                                    dtype=self.compute_dtype)
         return t, jnp.minimum(rank, self.total - 1)
 
     def attr_rows(self, idx: Array) -> Array:
@@ -152,7 +169,8 @@ class PallasBackend:
         o32, d32 = o.astype(jnp.float32), d.astype(jnp.float32)
         t, rank = K.run_closest_hit(self._sg_fields, self.counts,
                                     sg(o32), sg(d32),
-                                    interpret=self.interpret)
+                                    interpret=self.interpret,
+                                    dtype=self.compute_dtype)
         idx = jnp.minimum(rank, self.total - 1)
         attrs = intersect.unpack_attr_rows(self._packed[idx])
         hit = jnp.isfinite(t)
@@ -174,7 +192,8 @@ class PallasBackend:
         t, _ = K.run_closest_hit(self._sg_fields, self.counts,
                                  sg(o.astype(jnp.float32)),
                                  sg(d.astype(jnp.float32)),
-                                 interpret=self.interpret)
+                                 interpret=self.interpret,
+                                 dtype=self.compute_dtype)
         return t
 
     def occluded(self, o, d, limit, skip_target_id=None) -> Array:
@@ -214,7 +233,7 @@ class PallasBackend:
             self._sg_fields, self.counts, sg(o.astype(jnp.float32)),
             [sg(d.astype(jnp.float32)) for d in dirs],
             sg(limits.astype(jnp.float32)), tuple(skips), init_occ,
-            interpret=self.interpret)
+            interpret=self.interpret, dtype=self.compute_dtype)
 
     def multi_permeation_loss(self, o, dirs, skips) -> Array:
         """Fused S-target permeation (ops.pallas.fused.multi_chord); with
@@ -233,4 +252,4 @@ class PallasBackend:
         return F.run_multi_chord(
             self._sg_fields, self.counts, sg(o.astype(jnp.float32)),
             [sg(d.astype(jnp.float32)) for d in dirs], tuple(skips),
-            interpret=self.interpret)
+            interpret=self.interpret, dtype=self.compute_dtype)

@@ -15,7 +15,8 @@ reference's one-stream structure on the TPU:
   against all S sets; per-primitive terms that do not depend on the ray
   direction (sphere center offsets/|oc|^2, slab bounds minus origin, the
   OBB-local origin) are computed once and reused across sets. Results are
-  a per-ray int32 bitmask (bit s = set s occluded).
+  S per-ray occlusion flags (f32 0/1 accumulators — one select per
+  (prim, set) instead of int32 bitmask arithmetic).
 - ``multi_chord``: permeation chord-length x density sums for S target
   ray sets in one stream, same sharing structure.
 - ``multi_chord_bwd``: hand-closed adjoints of multi_chord (no jax.vjp
@@ -39,14 +40,21 @@ from jax.experimental import pallas as pl
 from audio_raytracer_tpu.ops.pallas.kernels import (
     BIG,
     INT_MAX,
+    _cast_refs,
+    _f32,
     _grid,
+    _inv_dir,
+    _mat_rotate,
+    _mat_rotate_t,
+    _match_vma,
+    _neg,
     _out_vma,
     _pad_rays,
     _prim_spec,
-    _quat_rotate,
     _ray_out,
     _ray_spec,
     _round_block,
+    _rows,
     _safe_dir,
     _unpack_rays,
 )
@@ -70,20 +78,19 @@ def _pad_rays_fill(x, rp, fill):
 
 
 def _load_sets(refs, n_sets, with_limits):
-    """Load S direction sets (+ limits) and precompute per-set terms."""
+    """Load S direction sets (+ limits) and precompute per-set terms.
+
+    Inverse directions go through the f32 division island (_inv_dir);
+    limits load raw f32 (they live in the cmp domain)."""
     sets = []
     for s in range(n_sets):
         dx = refs[f"d{s}x"][...]
         dy = refs[f"d{s}y"][...]
         dz = refs[f"d{s}z"][...]
-        ix = 1.0 / _safe_dir(dx)
-        iy = 1.0 / _safe_dir(dy)
-        iz = 1.0 / _safe_dir(dz)
-        a2 = 2.0 * (dx * dx + dy * dy + dz * dz)
-        inv2a = 1.0 / a2
+        ix, iy, iz = _inv_dir(dx, dy, dz, dx)
         lim = refs[f"l{s}"][...] if with_limits else None
         sets.append(dict(dx=dx, dy=dy, dz=dz, ix=ix, iy=iy, iz=iz,
-                         a2=a2, inv2a=inv2a, lim=lim))
+                         lim=lim))
     return sets
 
 
@@ -92,56 +99,80 @@ def _load_sets(refs, n_sets, with_limits):
 # ---------------------------------------------------------------------------
 
 
-def multi_any_hit_kernel(counts, skips, names, *refs_list):
-    """Per ray block: occ bitmask (bit s = ray set s occluded).
+def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
+    """Per ray block: S occlusion flags (1.0 = ray set s occluded).
 
     ``skips`` is a static tuple of per-set audio-target ids to skip
     (CanRaySeeAudioTarget's AudioTargetId exclusion,
     AudioRaytracerJobBatched.cs:405-449); NO_SKIP for the echo set.
+
+    Directions MUST be normalized (they are: safe_normalize in
+    ops.trace) — the sphere test exploits |d| == 1 to resolve the
+    reference's root-select semantics (cs:323-355: t = t0 if t0 >= 0
+    else t1 if t1 >= 0 else miss; occluded iff t < lim) entirely in the
+    sign domain, with no sqrt and no division:
+      h = oc . d, c = |oc|^2 - r^2, roots t0/t1 = -h -/+ sqrt(h^2 - c)
+      t0 >= 0        <=> h <= 0 and c >= 0
+      t0 <  lim      <=> h + lim > 0  or  q(lim) < 0
+      t1 in [0, lim) <=> c < 0 branch: h + lim > 0 and q(lim) > 0
+    where q(lim) = lim^2 + 2 h lim + c is the quadratic at t = lim.
+    Occlusion state accumulates as a float select per set (1 VPU op)
+    instead of int32 bitmask arithmetic.
     """
     ns, na, no = counts
     S = len(skips)
-    FULL = (1 << S) - 1
-    refs = dict(zip(names, refs_list[:len(names)]))
-    occ_out = refs_list[len(names)]
+    keep = {f"l{s}" for s in range(S)} | {f"i{s}" for s in range(S)}
+    refs = _cast_refs(dict(zip(names, refs_list[:len(names)])), cdt, keep)
+    outs = refs_list[len(names):len(names) + S]
 
-    init = refs["init"][...]
+    inits = [refs[f"i{s}"][...] for s in range(S)]
+    pre_blk = inits[0]
+    for s in range(1, S):
+        pre_blk = jnp.minimum(pre_blk, inits[s])
+    # Scalar registers are 32-bit: reduce to scalar in f32.
+    pre = jnp.min(pre_blk.astype(jnp.float32))
 
-    @pl.when(jnp.min(init) == FULL)
+    @pl.when(pre >= 0.5)
     def _done():
         # Whole block pre-resolved (dead / out-of-range lanes): skip the
         # primitive stream.
-        occ_out[...] = init
+        for out, ini in zip(outs, inits):
+            out[...] = ini
 
-    @pl.when(jnp.min(init) != FULL)
+    # Ray-block loads live OUTSIDE the skip branch: values loaded inside
+    # a pl.when closure lose their varying-manual-axes type under a
+    # compiled shard_map trace, which breaks the fori carry typing (the
+    # block DMA happens per grid step regardless, so this costs ~nothing
+    # on skipped blocks).
+    ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
+    sets = _load_sets(refs, S, with_limits=True)
+
+    @pl.when(pre < 0.5)
     def _scan():
-        ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
-        sets = _load_sets(refs, S, with_limits=True)
+        one = 1.0  # weak literal: stays in the compute dtype
 
-        def or_bit(acc, occ, s):
-            return acc | occ.astype(jnp.int32) * (1 << s)
-
-        acc0 = init
-
-        def s_body(p, acc):
+        def s_body(p, accs):
             cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
             r2, tgt = refs["s_r2"][p], refs["s_tgt"][p]
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            c = _f32(ocx * ocx + ocy * ocy + ocz * ocz) - _f32(r2)
+            c_pos = c >= 0.0
+            c_neg = ~c_pos
+            new = []
             for s, st in enumerate(sets):
-                b = 2.0 * (ocx * st["dx"] + ocy * st["dy"] + ocz * st["dz"])
-                disc = b * b - st["a2"] * 2.0 * cc
-                hit = disc >= 0.0
-                sq = jnp.sqrt(jnp.where(hit, disc, 1.0))
-                t0 = (-b - sq) * st["inv2a"]
-                t1 = (-b + sq) * st["inv2a"]
-                t = jnp.where(t0 >= 0.0, t0, jnp.where(t1 >= 0.0, t1, BIG))
-                t = jnp.where(hit, t, BIG)
-                occ = (t < st["lim"]) & (tgt != skips[s])
-                acc = or_bit(acc, occ, s)
-            return acc
+                h = _f32(ocx * st["dx"] + ocy * st["dy"] + ocz * st["dz"])
+                lim = st["lim"]
+                hl = h + lim
+                q = lim * (hl + h) + c  # lim^2 + 2 h lim + c
+                entering = c_pos & (h <= 0.0) & ((hl > 0.0) | (q < 0.0))
+                inside = c_neg & (hl > 0.0) & (q > 0.0)
+                occ = (h * h >= c) & (entering | inside)
+                occ = occ & (tgt != skips[s])
+                new.append(_match_vma(jnp.where(occ, one, accs[s]),
+                                      accs[s]))
+            return tuple(new)
 
-        def a_body(p, acc):
+        def a_body(p, accs):
             mnx = refs["a_minx"][p] - ox
             mny = refs["a_miny"][p] - oy
             mnz = refs["a_minz"][p] - oz
@@ -150,66 +181,63 @@ def multi_any_hit_kernel(counts, skips, names, *refs_list):
             mxz = refs["a_maxz"][p] - oz
             miss_add = refs["a_miss"][p]
             tgt = refs["a_tgt"][p]
+            new = []
             for s, st in enumerate(sets):
                 t = _slab_t_pre(mnx, mny, mnz, mxx, mxy, mxz,
                                 st["ix"], st["iy"], st["iz"]) + miss_add
                 occ = (t < st["lim"]) & (tgt != skips[s])
-                acc = or_bit(acc, occ, s)
-            return acc
+                new.append(_match_vma(jnp.where(occ, one, accs[s]),
+                                      accs[s]))
+            return tuple(new)
 
-        def o_body(p, acc):
+        def o_body(p, accs):
             cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
-            qx, qy, qz = refs["o_qx"][p], refs["o_qy"][p], refs["o_qz"][p]
-            qw = refs["o_qw"][p]
             hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
             miss_add = refs["o_miss"][p]
             tgt = refs["o_tgt"][p]
-            lox, loy, loz = _quat_rotate(qx, qy, qz, qw,
-                                         ox - cx, oy - cy, oz - cz)
-            mnx, mny, mnz = -hx - lox, -hy - loy, -hz - loz
+            lox, loy, loz = _mat_rotate(refs, p, ox - cx, oy - cy, oz - cz)
+            mnx, mny, mnz = (_neg(hx) - lox, _neg(hy) - loy,
+                             _neg(hz) - loz)
             mxx, mxy, mxz = hx - lox, hy - loy, hz - loz
+            new = []
             for s, st in enumerate(sets):
-                ldx, ldy, ldz = _quat_rotate(qx, qy, qz, qw,
-                                             st["dx"], st["dy"], st["dz"])
-                ix = 1.0 / _safe_dir(ldx)
-                iy = 1.0 / _safe_dir(ldy)
-                iz = 1.0 / _safe_dir(ldz)
+                ldx, ldy, ldz = _mat_rotate(refs, p,
+                                            st["dx"], st["dy"], st["dz"])
+                ix, iy, iz = _inv_dir(ldx, ldy, ldz, ldx)
                 t = _slab_t_pre(mnx, mny, mnz, mxx, mxy, mxz, ix, iy, iz) \
                     + miss_add
                 occ = (t < st["lim"]) & (tgt != skips[s])
-                acc = or_bit(acc, occ, s)
-            return acc
+                new.append(_match_vma(jnp.where(occ, one, accs[s]),
+                                      accs[s]))
+            return tuple(new)
 
-        acc = acc0
+        accs = tuple(inits)
         if ns:
-            acc = jax.lax.fori_loop(0, ns, s_body, acc)
+            accs = jax.lax.fori_loop(0, ns, s_body, accs)
         if na:
-            acc = jax.lax.fori_loop(0, na, a_body, acc)
+            accs = jax.lax.fori_loop(0, na, a_body, accs)
         if no:
-            acc = jax.lax.fori_loop(0, no, o_body, acc)
-        occ_out[...] = acc
+            accs = jax.lax.fori_loop(0, no, o_body, accs)
+        for out, acc in zip(outs, accs):
+            out[...] = acc
 
 
 def _slab_t_pre(mnx, mny, mnz, mxx, mxy, mxz, ix, iy, iz):
-    """Slab hit distance from precomputed (bound - origin) terms.
+    """Slab hit distance (f32) from precomputed (bound - origin) terms.
 
     Same select semantics as kernels._slab_t: t = t_near if > 0 else
-    t_far, BIG on miss."""
-    t0x, t1x = mnx * ix, mxx * ix
-    t0y, t1y = mny * iy, mxy * iy
-    t0z, t1z = mnz * iz, mxz * iz
-    tnx, tfx = jnp.minimum(t0x, t1x), jnp.maximum(t0x, t1x)
-    tny, tfy = jnp.minimum(t0y, t1y), jnp.maximum(t0y, t1y)
-    tnz, tfz = jnp.minimum(t0z, t1z), jnp.maximum(t0z, t1z)
-    t_near = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-    t_far = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+    t_far, BIG on miss. Products/min-max run in the compute dtype;
+    cmp/select in f32."""
+    t_near, t_far = _slab_interval_pre(mnx, mny, mnz, mxx, mxy, mxz,
+                                       ix, iy, iz)
     miss = (t_near > t_far) | (t_far < 0.0)
     t = jnp.where(t_near > 0.0, t_near, t_far)
     return jnp.where(miss, BIG, t)
 
 
 def _slab_interval_pre(mnx, mny, mnz, mxx, mxy, mxz, ix, iy, iz):
-    """(t_near, t_far) from precomputed (bound - origin) terms."""
+    """(t_near, t_far) f32 from precomputed (bound - origin) terms;
+    products/min-max chains in the compute dtype."""
     t0x, t1x = mnx * ix, mxx * ix
     t0y, t1y = mny * iy, mxy * iy
     t0z, t1z = mnz * iz, mxz * iz
@@ -219,51 +247,55 @@ def _slab_interval_pre(mnx, mny, mnz, mxx, mxy, mxz, ix, iy, iz):
     t_far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                     jnp.maximum(t0y, t1y)),
                         jnp.maximum(t0z, t1z))
-    return t_near, t_far
+    return _f32(t_near), _f32(t_far)
 
 
 def run_multi_any_hit(prim_fields: dict, counts, o, dirs, limits, skips,
-                      init_occ, interpret=False):
+                      init_occ, interpret=False, dtype=jnp.float32):
     """Fused occlusion over S ray sets sharing one origin.
 
-    o: [R, 3]; dirs: list of S [R, 3]; limits: [R, S]; skips: static
-    tuple of S ints (NO_SKIP = no exclusion); init_occ: [R, S] bool lanes
-    whose test is moot (pre-marked occluded, enables block skipping).
-    Returns occ [R, S] bool (init_occ lanes come back True).
+    o: [R, 3]; dirs: list of S [R, 3] (MUST be normalized — the sphere
+    test assumes |d| == 1); limits: [R, S]; skips: static tuple of S
+    ints (NO_SKIP = no exclusion); init_occ: [R, S] bool lanes whose
+    test is moot (pre-marked occluded, enables block skipping).
+    ``dtype``: compute dtype (bf16 = 2x tier; boolean flips possible
+    within ~0.4% of geometric edges). Returns occ [R, S] bool
+    (init_occ lanes come back True).
     """
     R = o.shape[0]
     S = len(dirs)
-    rp = _round_block(R)
-    FULL = (1 << S) - 1
+    rows = _rows(dtype)
+    rp = _round_block(R, rows)
 
     geom = {k: v for k, v in prim_fields.items() if not k.endswith("_dens")}
     ray_names = ["ox", "oy", "oz"]
-    rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
-            _pad_rays(o[:, 2], rp)]
+    rays = [_pad_rays(o[:, 0], rp, dtype), _pad_rays(o[:, 1], rp, dtype),
+            _pad_rays(o[:, 2], rp, dtype)]
     for s in range(S):
         ray_names += [f"d{s}x", f"d{s}y", f"d{s}z", f"l{s}"]
-        rays += [_pad_rays(dirs[s][:, 0], rp), _pad_rays(dirs[s][:, 1], rp),
-                 _pad_rays(dirs[s][:, 2], rp), _pad_rays(limits[:, s], rp)]
-    bits = jnp.zeros((R,), jnp.int32)
+        rays += [_pad_rays(dirs[s][:, 0], rp, dtype),
+                 _pad_rays(dirs[s][:, 1], rp, dtype),
+                 _pad_rays(dirs[s][:, 2], rp, dtype),
+                 _pad_rays(limits[:, s], rp)]  # limits stay f32 (cmp domain)
     for s in range(S):
-        bits = bits | init_occ[:, s].astype(jnp.int32) * (1 << s)
-    ray_names.append("init")
-    rays.append(_pad_rays_fill(bits, rp, FULL))
+        # Padding lanes enter pre-occluded so fully-padded blocks skip.
+        ray_names.append(f"i{s}")
+        rays.append(_pad_rays_fill(init_occ[:, s].astype(jnp.float32),
+                                   rp, 1.0))
 
     all_names = ray_names + list(geom.keys())
     kernel = functools.partial(multi_any_hit_kernel, counts, tuple(skips),
-                               all_names)
+                               all_names, dtype)
     vma = _out_vma(rays, list(geom.values()))
-    occ = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=_grid(rp),
-        in_specs=[_ray_spec()] * len(rays) + [_prim_spec()] * len(geom),
-        out_specs=_ray_spec(),
-        out_shape=_ray_out(rp, jnp.int32, vma),
+        grid=_grid(rp, rows),
+        in_specs=[_ray_spec(rows)] * len(rays) + [_prim_spec()] * len(geom),
+        out_specs=[_ray_spec(rows)] * S,
+        out_shape=[_ray_out(rp, jnp.float32, vma)] * S,
         interpret=interpret,
     )(*rays, *geom.values())
-    bits = _unpack_rays(occ, R)
-    return jnp.stack([(bits & (1 << s)) > 0 for s in range(S)], axis=-1)
+    return jnp.stack([_unpack_rays(x, R) > 0.5 for x in outs], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -275,9 +307,11 @@ def _sphere_chord_terms(st, ocx, ocy, ocz, cc):
     """Forward chord for one (primitive, set) pair from shared oc terms.
 
     Half-b quadratic, normalized direction
-    (AudioPermeationJobBatched.cs:303-328). Returns intermediates needed
-    by the hand-closed backward."""
-    b = ocx * st["dx"] + ocy * st["dy"] + ocz * st["dz"]
+    (AudioPermeationJobBatched.cs:303-328). Dot product in the compute
+    dtype; sqrt/cmp/select in f32. Returns f32 intermediates needed by
+    the hand-closed backward."""
+    b = _f32(ocx * st["dx"] + ocy * st["dy"] + ocz * st["dz"])
+    cc = _f32(cc)
     disc = b * b - cc
     hit = disc >= 0.0
     sq = jnp.sqrt(jnp.where(hit, disc, 1.0))
@@ -290,7 +324,8 @@ def _sphere_chord_terms(st, ocx, ocy, ocz, cc):
 
 def _box_chord_terms(st_ix, st_iy, st_iz, mnx, mny, mnz, mxx, mxy, mxz):
     """Forward chord interval for one (box, set) pair from shared
-    (bound - origin) terms. chord = max(0, t_far - max(t_near, 0))."""
+    (bound - origin) terms. chord = max(0, t_far - max(t_near, 0)).
+    Slab core in the compute dtype, chord math in f32."""
     t_near, t_far = _slab_interval_pre(mnx, mny, mnz, mxx, mxy, mxz,
                                        st_ix, st_iy, st_iz)
     chord_raw = t_far - jnp.maximum(t_near, 0.0)
@@ -298,18 +333,27 @@ def _box_chord_terms(st_ix, st_iy, st_iz, mnx, mny, mnz, mxx, mxy, mxz):
     return t_near, t_far, chord_raw, chord
 
 
-def multi_chord_kernel(counts, skips, names, *refs_list):
+def multi_chord_kernel(counts, skips, names, cdt, *refs_list):
     """Per ray block: S permeation loss accumulators, one primitive stream
-    (AudioPermeationJobBatched.cs:225-328 for all targets at once)."""
+    (AudioPermeationJobBatched.cs:225-328 for all targets at once).
+
+    Chord tests run in ``cdt`` (bf16 = 2x tier); the per-ray sums over
+    thousands of primitives accumulate in f32 regardless, so reduced
+    precision costs per-chord rounding (~0.4% rel) but no accumulation
+    drift."""
     ns, na, no = counts
     S = len(skips)
-    refs = dict(zip(names, refs_list[:len(names)]))
+    refs = _cast_refs(dict(zip(names, refs_list[:len(names)])), cdt)
     outs = refs_list[len(names):len(names) + S]
 
     ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
     sets = _load_sets(refs, S, with_limits=False)
 
     accs = tuple(jnp.zeros(ox.shape, jnp.float32) for _ in range(S))
+
+    def acc_add(acc, valid, chord, dens):
+        w = jnp.where(valid, chord, 0.0) * dens
+        return _match_vma(acc + w.astype(jnp.float32), acc)
 
     def s_body(p, accs):
         cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
@@ -321,7 +365,7 @@ def multi_chord_kernel(counts, skips, names, *refs_list):
             _, hit, _, t_exit, _, _, chord = _sphere_chord_terms(
                 st, ocx, ocy, ocz, cc)
             valid = hit & (t_exit >= 0.0) & (tgt != skips[s])
-            new.append(accs[s] + jnp.where(valid, chord, 0.0) * dens)
+            new.append(acc_add(accs[s], valid, chord, dens))
         return tuple(new)
 
     def a_body(p, accs):
@@ -339,32 +383,27 @@ def multi_chord_kernel(counts, skips, names, *refs_list):
                 st["ix"], st["iy"], st["iz"], mnx, mny, mnz, mxx, mxy, mxz)
             valid = ((t_near <= t_far) & (t_far >= 0.0)
                      & (tgt != skips[s]) & ok)
-            new.append(accs[s] + jnp.where(valid, chord, 0.0) * dens)
+            new.append(acc_add(accs[s], valid, chord, dens))
         return tuple(new)
 
     def o_body(p, accs):
         cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
-        qx, qy, qz = refs["o_qx"][p], refs["o_qy"][p], refs["o_qz"][p]
-        qw = refs["o_qw"][p]
         hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
         ok = refs["o_miss"][p] == 0.0
         tgt, dens = refs["o_tgt"][p], refs["o_dens"][p]
-        lox, loy, loz = _quat_rotate(qx, qy, qz, qw,
-                                     ox - cx, oy - cy, oz - cz)
-        mnx, mny, mnz = -hx - lox, -hy - loy, -hz - loz
+        lox, loy, loz = _mat_rotate(refs, p, ox - cx, oy - cy, oz - cz)
+        mnx, mny, mnz = (_neg(hx) - lox, _neg(hy) - loy, _neg(hz) - loz)
         mxx, mxy, mxz = hx - lox, hy - loy, hz - loz
         new = []
         for s, st in enumerate(sets):
-            ldx, ldy, ldz = _quat_rotate(qx, qy, qz, qw,
-                                         st["dx"], st["dy"], st["dz"])
-            ix = 1.0 / _safe_dir(ldx)
-            iy = 1.0 / _safe_dir(ldy)
-            iz = 1.0 / _safe_dir(ldz)
+            ldx, ldy, ldz = _mat_rotate(refs, p,
+                                        st["dx"], st["dy"], st["dz"])
+            ix, iy, iz = _inv_dir(ldx, ldy, ldz, ldx)
             t_near, t_far, _, chord = _box_chord_terms(
                 ix, iy, iz, mnx, mny, mnz, mxx, mxy, mxz)
             valid = ((t_near <= t_far) & (t_far >= 0.0)
                      & (tgt != skips[s]) & ok)
-            new.append(accs[s] + jnp.where(valid, chord, 0.0) * dens)
+            new.append(acc_add(accs[s], valid, chord, dens))
         return tuple(new)
 
     if ns:
@@ -378,30 +417,34 @@ def multi_chord_kernel(counts, skips, names, *refs_list):
 
 
 def run_multi_chord(prim_fields: dict, counts, o, dirs, skips,
-                    interpret=False):
-    """Fused permeation: [R, S] chord-loss sums for S target ray sets."""
+                    interpret=False, dtype=jnp.float32):
+    """Fused permeation: [R, S] f32 chord-loss sums for S target ray
+    sets. ``dtype``: compute dtype for the chord tests (accumulation is
+    always f32); dirs must be normalized."""
     R = o.shape[0]
     S = len(dirs)
-    rp = _round_block(R)
+    rows = _rows(dtype)
+    rp = _round_block(R, rows)
 
     ray_names = ["ox", "oy", "oz"]
-    rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
-            _pad_rays(o[:, 2], rp)]
+    rays = [_pad_rays(o[:, 0], rp, dtype), _pad_rays(o[:, 1], rp, dtype),
+            _pad_rays(o[:, 2], rp, dtype)]
     for s in range(S):
         ray_names += [f"d{s}x", f"d{s}y", f"d{s}z"]
-        rays += [_pad_rays(dirs[s][:, 0], rp), _pad_rays(dirs[s][:, 1], rp),
-                 _pad_rays(dirs[s][:, 2], rp)]
+        rays += [_pad_rays(dirs[s][:, 0], rp, dtype),
+                 _pad_rays(dirs[s][:, 1], rp, dtype),
+                 _pad_rays(dirs[s][:, 2], rp, dtype)]
 
     all_names = ray_names + list(prim_fields.keys())
     kernel = functools.partial(multi_chord_kernel, counts, tuple(skips),
-                               all_names)
+                               all_names, dtype)
     vma = _out_vma(rays, list(prim_fields.values()))
     outs = pl.pallas_call(
         kernel,
-        grid=_grid(rp),
-        in_specs=([_ray_spec()] * len(rays)
+        grid=_grid(rp, rows),
+        in_specs=([_ray_spec(rows)] * len(rays)
                   + [_prim_spec()] * len(prim_fields)),
-        out_specs=[_ray_spec()] * S,
+        out_specs=[_ray_spec(rows)] * S,
         out_shape=[_ray_out(rp, jnp.float32, vma)] * S,
         interpret=interpret,
     )(*rays, *prim_fields.values())
@@ -554,21 +597,18 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
 
     def o_body(p, acc):
         cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
-        qx, qy, qz = refs["o_qx"][p], refs["o_qy"][p], refs["o_qz"][p]
-        qw = refs["o_qw"][p]
         hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
         ok = refs["o_miss"][p] == 0.0
         tgt, dens = refs["o_tgt"][p], refs["o_dens"][p]
-        lox, loy, loz = _quat_rotate(qx, qy, qz, qw,
-                                     ox - cx, oy - cy, oz - cz)
+        lox, loy, loz = _mat_rotate(refs, p, ox - cx, oy - cy, oz - cz)
         mn = (-hx - lox, -hy - loy, -hz - loz)
         mx = (hx - lox, hy - loy, hz - loz)
         g_lox, g_loy, g_loz = 0.0, 0.0, 0.0
         new_d = list(acc[3:])
         g_dens = 0.0
         for s, st in enumerate(sets):
-            ldx, ldy, ldz = _quat_rotate(qx, qy, qz, qw,
-                                         st["dx"], st["dy"], st["dz"])
+            ldx, ldy, ldz = _mat_rotate(refs, p,
+                                        st["dx"], st["dy"], st["dz"])
             sdx, sdy, sdz = _safe_dir(ldx), _safe_dir(ldy), _safe_dir(ldz)
             i_s = (1.0 / sdx, 1.0 / sdy, 1.0 / sdz)
             ld_s = (ldx, ldy, ldz)
@@ -588,14 +628,14 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
             g_loz = g_loz - (g_mn[2] + g_mx[2])
             g_ld = tuple(_inv_dir_grad(g_i[a], ld_s[a], i_s[a])
                          for a in range(3))
-            # d_local = R(q) d  =>  g_d = R(q)^T g_ld = R(conj q) g_ld
-            gdx, gdy, gdz = _quat_rotate(-qx, -qy, -qz, qw, *g_ld)
+            # d_local = M d  =>  g_d = M^T g_ld
+            gdx, gdy, gdz = _mat_rotate_t(refs, p, *g_ld)
             new_d[3 * s + 0] = new_d[3 * s + 0] + gdx
             new_d[3 * s + 1] = new_d[3 * s + 1] + gdy
             new_d[3 * s + 2] = new_d[3 * s + 2] + gdz
         dens_refs["o_dens"][p] += g_dens
-        # o_local = R(q)(o - c)  =>  g_o = R(conj q) g_lo
-        gox, goy, goz = _quat_rotate(-qx, -qy, -qz, qw, g_lox, g_loy, g_loz)
+        # o_local = M (o - c)  =>  g_o = M^T g_lo
+        gox, goy, goz = _mat_rotate_t(refs, p, g_lox, g_loy, g_loz)
         return (acc[0] + gox, acc[1] + goy, acc[2] + goz) + tuple(new_d)
 
     if ns:

@@ -27,6 +27,24 @@ with VPU kernels shaped for the TPU register file:
 SMEM capacity bounds the primitive count per kernel call (~512 KB ->
 ~16K mixed primitives with every field resident); the PallasBackend
 asserts the bound. Rays are unbounded (blocked over the grid).
+
+Reduced precision (``compute_dtype="bfloat16"``): kernels run geometry
+arithmetic in bf16 (16, 512) blocks with f32 islands for every cmp /
+select / sqrt / division (Mosaic on this platform rejects those ops in
+bf16, as well as bf16 scalar negation — see _f32/_neg). Measured on a
+v5e at 1M rays x 4K prims the bf16 tier is NET SLOWER than f32 (~1.9 s
+vs ~1.4 s/step): the cmp/select-heavy occlusion tests spend most ops in
+the f32 islands while 16-row blocks double register pressure. It also
+degrades secondary-ray semantics at world scales >> 1 (the reference's
+1e-4 epsilon hit-point offset, AudioRaytracerJobBatched.cs:57, is below
+bf16 resolution at ~100 m coordinates, so echo/muffle rays can
+self-occlude on the surface they just left — the reference only ever
+stores *collider* data in half, ColliderAABBStruct.cs:10-11, and keeps
+ray math in float). f32 is therefore the recommended and default tier;
+bf16 remains available, parity-tested at documented tolerances
+(tests/test_bf16.py), for small-scene / coarse-audio use — set
+``TraceConfig.epsilon >= world_scale * 2**-8`` so the hit-point offset
+survives bf16 rounding.
 """
 
 from __future__ import annotations
@@ -40,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_COLS = 512
 ROWS = 8
-RAY_BLOCK = ROWS * RAY_COLS  # rays per grid step
+RAY_BLOCK = ROWS * RAY_COLS  # rays per grid step (f32 tier)
 # Python literals (not jnp constants): the kernel must not capture arrays.
 INT_MAX = 2**31 - 1
 BIG = 3.0e38
@@ -48,11 +66,57 @@ BIG = 3.0e38
 SMEM_BYTES = 512 * 1024
 
 
+def _rows(dtype):
+    """Sublane rows per ray block: bf16 vregs pack (16, 128) lanes vs
+    f32's (8, 128), so the bf16 tier stages 16-row blocks — 2x rays per
+    VPU op, the measured 2x VPU throughput on v5e. This is the TPU
+    analog of the reference's half-precision layout
+    (ColliderAABBStruct.cs:10-11, halfQuaternion.cs)."""
+    return 16 if dtype == jnp.bfloat16 else ROWS
+
+
+def _f32(x):
+    """Upcast bf16 to f32 (identity on f32): the boundary of an "f32
+    island". Mosaic on this platform supports bf16 *arithmetic* (2x VPU
+    throughput) but not bf16 comparisons, selects, sqrt, or division —
+    the mixed-precision kernels keep the op-heavy geometry arithmetic
+    (slab products, min/max chains, rotations, dot products) in bf16 and
+    route every cmp/select/sqrt/div through f32."""
+    return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+
+
+class _CastRef:
+    """Ref wrapper casting f32 loads to the kernel compute dtype.
+
+    SMEM primitive fields stay f32 (full-precision geometry, scalar-core
+    casts are free alongside the VPU stream); ray blocks arrive already
+    in the compute dtype and pass through untouched."""
+
+    def __init__(self, ref, cdt):
+        self._ref, self._cdt = ref, cdt
+
+    def __getitem__(self, idx):
+        v = self._ref[idx]
+        return v.astype(self._cdt) if v.dtype == jnp.float32 else v
+
+
+def _cast_refs(refs: dict, cdt, keep=()) -> dict:
+    """Wrap refs so loads come back in ``cdt``; ``keep`` names stay raw
+    (f32 limit / accumulator-init blocks in the mixed tier). Fields in
+    the cmp/accumulate domain (miss encodings, densities) always stay
+    f32 — only geometry entering the bf16 arithmetic is cast."""
+    if cdt == jnp.float32:
+        return refs
+    return {k: (r if k in keep or k.endswith(("_miss", "_dens"))
+                else _CastRef(r, cdt))
+            for k, r in refs.items()}
+
+
 def _safe_dir(d):
-    # Zero-axis nudge, mirroring ops/intersect._aabb_slab.
-    return jnp.where(jnp.abs(d) < 1e-12,
-                     jnp.where(d >= 0, jnp.float32(1e-12),
-                               jnp.float32(-1e-12)), d)
+    # Zero-axis nudge, mirroring ops/intersect._aabb_slab. ones_like
+    # keeps the op in d's compute dtype (f32 or bf16).
+    nudge = jnp.where(d >= 0, jnp.ones_like(d), -jnp.ones_like(d)) * 1e-12
+    return jnp.where(jnp.abs(d) < 1e-12, nudge, d)
 
 
 # ---------------------------------------------------------------------------
@@ -61,16 +125,18 @@ def _safe_dir(d):
 
 
 def _sphere_t(refs, p, ox, oy, oz, dx, dy, dz, a2, inv2a):
-    """Sphere p hit distance over the ray block; BIG = miss.
+    """Sphere p hit distance over the ray block; BIG = miss (f32).
 
     Full quadratic with a = dot(d, d), near root preferred
-    (AudioRaytracerJobBatched.cs:323-355). a2 = 2a, inv2a = 1/(2a).
+    (AudioRaytracerJobBatched.cs:323-355). a2 = 2a, inv2a = 1/(2a)
+    (f32). Dot products run in the compute dtype; discriminant, sqrt
+    and root selection in f32 (see _f32).
     """
     cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
     r2 = refs["s_r2"][p]
     ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    b = _f32(2.0 * (ocx * dx + ocy * dy + ocz * dz))
+    cc = _f32(ocx * ocx + ocy * ocy + ocz * ocz) - _f32(r2)
     disc = b * b - a2 * 2.0 * cc
     hit = disc >= 0.0
     sq = jnp.sqrt(jnp.where(hit, disc, 1.0))
@@ -82,16 +148,17 @@ def _sphere_t(refs, p, ox, oy, oz, dx, dy, dz, a2, inv2a):
 
 def _slab_t(minx, miny, minz, maxx, maxy, maxz, ox, oy, oz, ix, iy, iz):
     """Slab test (scalar bounds vs ray-block vectors). Returns
-    (t, t_near, t_far, miss): t per reference select (tNear if > 0 else
-    tFar), miss when tNear > tFar or tFar < 0."""
+    (t, t_near, t_far, miss) in f32: t per reference select (tNear if
+    > 0 else tFar), miss when tNear > tFar or tFar < 0. Products and
+    min/max chains run in the inputs' compute dtype."""
     t0x, t1x = (minx - ox) * ix, (maxx - ox) * ix
     t0y, t1y = (miny - oy) * iy, (maxy - oy) * iy
     t0z, t1z = (minz - oz) * iz, (maxz - oz) * iz
     tnx, tfx = jnp.minimum(t0x, t1x), jnp.maximum(t0x, t1x)
     tny, tfy = jnp.minimum(t0y, t1y), jnp.maximum(t0y, t1y)
     tnz, tfz = jnp.minimum(t0z, t1z), jnp.maximum(t0z, t1z)
-    t_near = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-    t_far = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+    t_near = _f32(jnp.maximum(jnp.maximum(tnx, tny), tnz))
+    t_far = _f32(jnp.minimum(jnp.minimum(tfx, tfy), tfz))
     miss = (t_near > t_far) | (t_far < 0.0)
     t = jnp.where(t_near > 0.0, t_near, t_far)
     return t, t_near, t_far, miss
@@ -118,23 +185,78 @@ def _quat_rotate(qx, qy, qz, qw, vx, vy, vz):
     return rx, ry, rz
 
 
+def _mat_rotate(refs, p, vx, vy, vz):
+    """Rotate block vectors into OBB p's local frame by the baked
+    world->local rotation-matrix rows (9 SMEM scalars, from
+    quaternion.to_matrix of the pre-inverted quaternion): 15 fused
+    mul/adds per vector vs ~27 for the quaternion sandwich."""
+    rx = (refs["o_m00"][p] * vx + refs["o_m01"][p] * vy
+          + refs["o_m02"][p] * vz)
+    ry = (refs["o_m10"][p] * vx + refs["o_m11"][p] * vy
+          + refs["o_m12"][p] * vz)
+    rz = (refs["o_m20"][p] * vx + refs["o_m21"][p] * vy
+          + refs["o_m22"][p] * vz)
+    return rx, ry, rz
+
+
+def _mat_rotate_t(refs, p, vx, vy, vz):
+    """Transpose (local -> world) rotate: M^T v, for backward passes."""
+    rx = (refs["o_m00"][p] * vx + refs["o_m10"][p] * vy
+          + refs["o_m20"][p] * vz)
+    ry = (refs["o_m01"][p] * vx + refs["o_m11"][p] * vy
+          + refs["o_m21"][p] * vz)
+    rz = (refs["o_m02"][p] * vx + refs["o_m12"][p] * vy
+          + refs["o_m22"][p] * vz)
+    return rx, ry, rz
+
+
 def _obb_local(refs, p, ox, oy, oz, dx, dy, dz):
-    """Rotate the ray block into OBB p's local frame using the stored
-    (pre-inverted) quaternion. Returns local origin and direction."""
+    """Rotate the ray block into OBB p's local frame. Returns local
+    origin and direction."""
     cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
-    qx, qy, qz = refs["o_qx"][p], refs["o_qy"][p], refs["o_qz"][p]
-    qw = refs["o_qw"][p]
-    lox, loy, loz = _quat_rotate(qx, qy, qz, qw, ox - cx, oy - cy, oz - cz)
-    ldx, ldy, ldz = _quat_rotate(qx, qy, qz, qw, dx, dy, dz)
+    lox, loy, loz = _mat_rotate(refs, p, ox - cx, oy - cy, oz - cz)
+    ldx, ldy, ldz = _mat_rotate(refs, p, dx, dy, dz)
     return lox, loy, loz, ldx, ldy, ldz
+
+
+def _match_vma(x, like):
+    """Give x the same varying-manual-axes type as ``like``.
+
+    Under a compiled shard_map trace, values derived from grid-invariant
+    SMEM refs can come back unvaried while the fori_loop carry entered
+    varying over the mesh axes — pvary so carry input/output types
+    match (no data movement; a type cast)."""
+    want = getattr(jax.typeof(like), "vma", None) or frozenset()
+    have = getattr(jax.typeof(x), "vma", None) or frozenset()
+    missing = want - have
+    if missing:
+        return jax.lax.pvary(x, tuple(missing))
+    return x
+
+
+def _neg(x):
+    """Negation avoiding Mosaic's unsupported bf16 neg: route scalars
+    through f32 (identity cost on f32 inputs)."""
+    if x.dtype == jnp.bfloat16:
+        return (-x.astype(jnp.float32)).astype(jnp.bfloat16)
+    return -x
+
+
+def _inv_dir(ldx, ldy, ldz, cdt_of):
+    """1 / safe_dir per local axis: f32 island (Mosaic has no bf16
+    division), result back in the compute dtype for the slab products."""
+    ix = 1.0 / _safe_dir(_f32(ldx))
+    iy = 1.0 / _safe_dir(_f32(ldy))
+    iz = 1.0 / _safe_dir(_f32(ldz))
+    dt = cdt_of.dtype
+    return ix.astype(dt), iy.astype(dt), iz.astype(dt)
 
 
 def _obb_t(refs, p, ox, oy, oz, dx, dy, dz):
     hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
     lox, loy, loz, ldx, ldy, ldz = _obb_local(refs, p, ox, oy, oz, dx, dy, dz)
-    ldx, ldy, ldz = _safe_dir(ldx), _safe_dir(ldy), _safe_dir(ldz)
-    ix, iy, iz = 1.0 / ldx, 1.0 / ldy, 1.0 / ldz
-    t, _, _, miss = _slab_t(-hx, -hy, -hz, hx, hy, hz,
+    ix, iy, iz = _inv_dir(ldx, ldy, ldz, ox)
+    t, _, _, miss = _slab_t(_neg(hx), _neg(hy), _neg(hz), hx, hy, hz,
                             lox, loy, loz, ix, iy, iz)
     return jnp.where(miss, BIG, t) + refs["o_miss"][p]
 
@@ -147,21 +269,21 @@ def _obb_t(refs, p, ox, oy, oz, dx, dy, dz):
 def _ray_block_inputs(refs):
     ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
     dx, dy, dz = refs["dx"][...], refs["dy"][...], refs["dz"][...]
-    sdx, sdy, sdz = _safe_dir(dx), _safe_dir(dy), _safe_dir(dz)
-    ix, iy, iz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
-    a = dx * dx + dy * dy + dz * dz
+    ix, iy, iz = _inv_dir(dx, dy, dz, ox)
+    a = _f32(dx * dx + dy * dy + dz * dz)
     return ox, oy, oz, dx, dy, dz, ix, iy, iz, a
 
 
-def closest_hit_kernel(counts, names, *refs_list):
+def closest_hit_kernel(counts, names, cdt, *refs_list):
     """Grid step: one ray block vs all primitives -> (t_min, winner rank).
 
     The fori loops below ARE the reference scan (sphere -> AABB -> OBB,
     strict < update: AudioRaytracerJobBatched.cs:225-280) vectorized over
-    the ray block.
+    the ray block. ``cdt`` is the compute dtype (f32, or bf16 for the
+    2x-throughput reduced-precision tier).
     """
     ns, na, no = counts
-    refs = dict(zip(names, refs_list[:len(names)]))
+    refs = _cast_refs(dict(zip(names, refs_list[:len(names)])), cdt)
     t_out, win_out = refs_list[len(names)], refs_list[len(names) + 1]
 
     ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_block_inputs(refs)
@@ -169,6 +291,8 @@ def closest_hit_kernel(counts, names, *refs_list):
     inv2a = 1.0 / a2
     shape = ox.shape
 
+    # Per-prim t values come back f32 (cmp/select islands), so the
+    # running minimum and its strict-< update stay exact in every tier.
     best_t = jnp.full(shape, BIG, jnp.float32)
     best_i = jnp.full(shape, INT_MAX, jnp.int32)
 
@@ -400,20 +524,23 @@ def _prim_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _ray_spec():
+def _ray_spec(rows=ROWS):
     # Ray arrays are (rp/RAY_COLS, RAY_COLS); each grid step stages the
-    # 8-row band (8, RAY_COLS) at rows [8i, 8i+8).
-    return pl.BlockSpec((ROWS, RAY_COLS), lambda i: (i, 0),
+    # band (rows, RAY_COLS) at rows [rows*i, rows*(i+1)).
+    return pl.BlockSpec((rows, RAY_COLS), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _round_block(R):
-    return -(-R // RAY_BLOCK) * RAY_BLOCK
+def _round_block(R, rows=ROWS):
+    block = rows * RAY_COLS
+    return -(-R // block) * block
 
 
-def _pad_rays(x, rp):
+def _pad_rays(x, rp, dtype=None):
     """[R] -> (rp/RAY_COLS, RAY_COLS) row-major (a free reshape)."""
     r = x.shape[0]
+    if dtype is not None:
+        x = x.astype(dtype)
     if r != rp:
         x = jnp.concatenate([x, jnp.zeros((rp - r,), x.dtype)])
     return x.reshape(rp // RAY_COLS, RAY_COLS)
@@ -424,8 +551,8 @@ def _unpack_rays(x, R):
     return x.reshape(-1)[:R]
 
 
-def _grid(rp):
-    return (rp // RAY_BLOCK,)
+def _grid(rp, rows=ROWS):
+    return (rp // (rows * RAY_COLS),)
 
 
 def _ray_out(rp, dtype, vma=frozenset()):
@@ -445,32 +572,36 @@ def _out_vma(*operands):
     return vma
 
 
-def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False):
-    """o, d: [R, 3] -> (t [R] (+inf miss), rank [R] int32).
+def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False,
+                    dtype=jnp.float32):
+    """o, d: [R, 3] -> (t [R] f32 (+inf miss), rank [R] int32).
 
     ``prim_fields``: dict of 1-D scalar arrays (see PallasBackend);
-    ``counts``: true (ns, na, no).
+    ``counts``: true (ns, na, no). ``dtype``: compute dtype (bf16 runs
+    ~2x faster; t carries ~8-bit mantissa and near-tie winners may
+    differ from the f32 scan).
     """
     R = o.shape[0]
-    rp = _round_block(R)
+    rows = _rows(dtype)
+    rp = _round_block(R, rows)
     names = list(prim_fields.keys())
     geom = [k for k in names
             if not k.endswith("_tgt") and not k.endswith("_dens")]
     fields = {k: prim_fields[k] for k in geom}
     ray_names = ["ox", "oy", "oz", "dx", "dy", "dz"]
-    rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
-            _pad_rays(o[:, 2], rp), _pad_rays(d[:, 0], rp),
-            _pad_rays(d[:, 1], rp), _pad_rays(d[:, 2], rp)]
+    rays = [_pad_rays(o[:, 0], rp, dtype), _pad_rays(o[:, 1], rp, dtype),
+            _pad_rays(o[:, 2], rp, dtype), _pad_rays(d[:, 0], rp, dtype),
+            _pad_rays(d[:, 1], rp, dtype), _pad_rays(d[:, 2], rp, dtype)]
     # Padded rays have d = 0 -> nudged dirs; results sliced off anyway.
 
     all_names = ray_names + list(fields.keys())
-    kernel = functools.partial(closest_hit_kernel, counts, all_names)
+    kernel = functools.partial(closest_hit_kernel, counts, all_names, dtype)
     vma = _out_vma(rays, list(fields.values()))
     t, win = pl.pallas_call(
         kernel,
-        grid=_grid(rp),
-        in_specs=[_ray_spec()] * 6 + [_prim_spec()] * len(fields),
-        out_specs=[_ray_spec(), _ray_spec()],
+        grid=_grid(rp, rows),
+        in_specs=[_ray_spec(rows)] * 6 + [_prim_spec()] * len(fields),
+        out_specs=[_ray_spec(rows), _ray_spec(rows)],
         out_shape=[_ray_out(rp, jnp.float32, vma),
                    _ray_out(rp, jnp.int32, vma)],
         interpret=interpret,

@@ -26,6 +26,27 @@ def rotate(q: Array, v: Array) -> Array:
     return v + w * t + jnp.cross(xyz, t)
 
 
+def to_matrix(q: Array) -> Array:
+    """Rotation matrix M [..., 3, 3] with M @ v == rotate(q, v).
+
+    Used to pre-bake the per-OBB inverse rotation into 9 SMEM scalars so
+    the kernels rotate with 15 fused mul/adds per vector instead of the
+    ~27-op quaternion sandwich (the TPU analog of the reference's
+    bake-time inverse-quaternion trick, AudioOBBCollider.cs:59).
+    """
+    x, y, z, w = (q[..., i] for i in range(4))
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    row0 = jnp.stack([1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz),
+                      2.0 * (xz + wy)], axis=-1)
+    row1 = jnp.stack([2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz),
+                      2.0 * (yz - wx)], axis=-1)
+    row2 = jnp.stack([2.0 * (xz - wy), 2.0 * (yz + wx),
+                      1.0 - 2.0 * (xx + yy)], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
 def inverse(q: Array) -> Array:
     """Inverse of a unit quaternion: conjugate (xyzw)."""
     return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], q.dtype)

@@ -118,10 +118,13 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         f"ray_count {cfg.ray_count} not divisible by {ray_shards} ray shards")
     local_cfg = dataclasses.replace(cfg, num_accum_batches=1)
     prim_sharded = prim_shards > 1
-    # The pallas HLO interpreter (CPU testing) mixes varying/unvarying
-    # values internally; disable shard_map's vma checking there. Real TPU
-    # lowering type-checks fine.
-    check_vma = backend != "pallas_interpret"
+    # The pallas paths mix varying/unvarying values inside kernel traces
+    # (this JAX version's binop vma rule drops the varying type when one
+    # operand is an unvaried SMEM scalar, breaking fori carry typing on
+    # the compiled Mosaic trace; the HLO interpreter has the same
+    # problem) — disable shard_map's vma checking for them. The jnp tier
+    # type-checks fully.
+    check_vma = backend == "jnp"
     pvary_axes = ("rays",) if check_vma else ()
 
     def local_step(origin, dirs_local, scene_local):

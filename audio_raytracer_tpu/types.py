@@ -279,6 +279,14 @@ class TraceConfig:
         # Reference: MaxHitsPerRay => maxBounces + 1 (AudioRayTracer.cs:16).
         return self.max_bounces + 1
 
+    @property
+    def compute_jnp_dtype(self):
+        """compute_dtype resolved to a jnp dtype for the kernel tier."""
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32,
+                "bfloat16": jnp.bfloat16}[self.compute_dtype]
+
 
 # ---------------------------------------------------------------------------
 # Results
