@@ -41,10 +41,14 @@ class PallasBackend:
 
     def __init__(self, scene: Scene, interpret: bool = False,
                  differentiable: bool = False,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, pose_grads: bool = True):
         self.scene = scene
         self.interpret = interpret
         self.differentiable = differentiable
+        # pose_grads=False (materials-only training): the chord adjoint
+        # skips its ray cotangents and runs the cheaper density-only
+        # backward kernel (ops/pallas/diff.multi_chord_loss).
+        self.pose_grads = pose_grads
         # bf16 = the 2x-throughput reduced-precision tier (the TPU analog
         # of the reference's half storage, ColliderAABBStruct.cs:10-11).
         # Only the non-differentiable forward kernels honor it; the
@@ -131,6 +135,22 @@ class PallasBackend:
         self._uni = intersect.unified_arrays(scene) if self.total else None
         self._packed = (intersect.packed_unified_table(self._uni)
                         if self.total else None)
+        if self.total:
+            # Split winner gathers for closest_hit: geometry columns are
+            # never differentiated (pose gradients flow through the o/d
+            # recompute; the BASELINE gradient surface is materials +
+            # source/listener poses), so gathering them from a
+            # stop-gradded table prunes their transpose — a [R, 12]
+            # scatter-add per bounce (~32 ms/bounce at 1M rays x 4K
+            # prims) — from every backward pass. Materials ride a
+            # separate differentiable [P, 2] gather.
+            u = self._uni
+            self._geom_tab = sg(jnp.concatenate(
+                [u["kind"].astype(jnp.float32)[:, None], u["center"],
+                 u["half_extents"], u["inv_rot"],
+                 jnp.zeros((self.total, 1), jnp.float32)], axis=1))
+            self._mat_tab = jnp.stack(
+                [u["absorption"], u["echo"]], axis=1)
 
     # -- Local-engine protocol (for PrimShardedBackend delegation) ----------
 
@@ -172,7 +192,16 @@ class PallasBackend:
                                     interpret=self.interpret,
                                     dtype=self.compute_dtype)
         idx = jnp.minimum(rank, self.total - 1)
-        attrs = intersect.unpack_attr_rows(self._packed[idx])
+        geom = self._geom_tab[idx]
+        mat = self._mat_tab[idx]
+        attrs = dict(
+            kind=geom[..., 0].astype(jnp.int32),
+            center=geom[..., 1:4],
+            half_extents=geom[..., 4:7],
+            inv_rot=geom[..., 7:11],
+            absorption=mat[..., 0],
+            echo=mat[..., 1],
+        )
         hit = jnp.isfinite(t)
         if self.differentiable:
             # Winner-recompute: differentiable t from the gathered winner.
@@ -246,7 +275,8 @@ class PallasBackend:
 
             return multi_chord_loss(
                 self.counts, tuple(skips), self.interpret,
-                self._chord_fields, o.astype(jnp.float32),
+                not self.pose_grads, self._chord_fields,
+                o.astype(jnp.float32),
                 tuple(d.astype(jnp.float32) for d in dirs))
         sg = jax.lax.stop_gradient
         return F.run_multi_chord(

@@ -68,42 +68,56 @@ def _chord_bwd(counts, interpret, res, g):
 chord_loss.defvjp(_chord_fwd, _chord_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def multi_chord_loss(counts, skips, interpret, prim_fields, o, dirs):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def multi_chord_loss(counts, skips, interpret, dens_only, prim_fields, o,
+                     dirs):
     """Differentiable fused permeation loss over S target ray sets.
 
-    counts/skips/interpret are static; prim_fields is the PallasBackend
-    field dict (gradients flow to the ``*_dens`` entries); o: [R, 3];
-    dirs: tuple of S [R, 3] (normalized). Returns [R, S].
+    counts/skips/interpret/dens_only are static; prim_fields is the
+    PallasBackend field dict (gradients flow to the ``*_dens`` entries);
+    o: [R, 3]; dirs: tuple of S [R, 3] (normalized). Returns [R, S].
 
     Backward runs the hand-closed adjoint kernel
     (ops.pallas.fused.multi_chord_bwd) — no per-primitive jax.vjp
-    re-linearization like round 1's chord_bwd_kernel.
+    re-linearization like round 1's chord_bwd_kernel. With
+    ``dens_only=True`` (materials-only training: positions never depend
+    on materials, so the ray cotangents are dead) the cheaper
+    density-only adjoint runs instead and d_o / d_dirs come back zero.
     """
     return F.run_multi_chord(prim_fields, counts, o, list(dirs), skips,
                              interpret=interpret)
 
 
-def _multi_chord_fwd(counts, skips, interpret, prim_fields, o, dirs):
+def _multi_chord_fwd(counts, skips, interpret, dens_only, prim_fields, o,
+                     dirs):
     loss = F.run_multi_chord(prim_fields, counts, o, list(dirs), skips,
                              interpret=interpret)
     return loss, (prim_fields, o, dirs)
 
 
-def _multi_chord_bwd(counts, skips, interpret, res, g):
+def _multi_chord_bwd(counts, skips, interpret, dens_only, res, g):
     prim_fields, o, dirs = res
-    d_o, d_dirs, dens_grads = F.run_multi_chord_bwd(
-        prim_fields, counts, o.astype(jnp.float32),
-        [d.astype(jnp.float32) for d in dirs], skips,
-        g.astype(jnp.float32), interpret=interpret)
+    if dens_only:
+        dens_grads = F.run_multi_chord_dens_bwd(
+            prim_fields, counts, o.astype(jnp.float32),
+            [d.astype(jnp.float32) for d in dirs], skips,
+            g.astype(jnp.float32), interpret=interpret)
+        d_o = jnp.zeros_like(o)
+        d_dirs = tuple(jnp.zeros_like(d) for d in dirs)
+    else:
+        d_o, d_dirs, dens_grads = F.run_multi_chord_bwd(
+            prim_fields, counts, o.astype(jnp.float32),
+            [d.astype(jnp.float32) for d in dirs], skips,
+            g.astype(jnp.float32), interpret=interpret)
+        d_o = d_o.astype(o.dtype)
+        d_dirs = tuple(dd.astype(d.dtype) for dd, d in zip(d_dirs, dirs))
     field_cts = {}
     for k, v in prim_fields.items():
         if k in dens_grads:
             field_cts[k] = dens_grads[k].reshape(v.shape).astype(v.dtype)
         else:
             field_cts[k] = _zero_cotangent(v)
-    return (field_cts, d_o.astype(o.dtype),
-            tuple(dd.astype(d.dtype) for dd, d in zip(d_dirs, dirs)))
+    return (field_cts, d_o, d_dirs)
 
 
 multi_chord_loss.defvjp(_multi_chord_fwd, _multi_chord_bwd)

@@ -648,6 +648,137 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
         ref[...] = a
 
 
+def multi_chord_dens_bwd_kernel(counts, skips, names, dens_keys,
+                                *refs_list):
+    """Density-only VJP of multi_chord_kernel.
+
+    Materials training (the gradient workload's train step) never
+    consumes the chord adjoint's ray cotangents — positions are
+    material-independent, so d_o / d_dirs are dead outputs there. This
+    kernel recomputes the forward chords and accumulates ONLY the
+    per-primitive density gradients (sum over lanes of g * chord),
+    roughly halving the ops of the full adjoint."""
+    ns, na, no = counts
+    S = len(skips)
+    refs = dict(zip(names, refs_list[:len(names)]))
+    dens_refs = dict(zip(dens_keys, refs_list[len(names):]))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in dens_refs.values():
+            def zero(i, _):
+                ref[i] = 0.0
+                return 0
+            jax.lax.fori_loop(0, ref.shape[0], zero, 0)
+
+    ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
+    sets = _load_sets(refs, S, with_limits=False)
+    gs = [refs[f"g{s}"][...] for s in range(S)]
+
+    def s_body(p, _):
+        cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
+        r2, tgt = refs["s_r2"][p], refs["s_tgt"][p]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        g_dens = 0.0
+        for s, st in enumerate(sets):
+            _, hit, _, t_exit, _, _, chord = _sphere_chord_terms(
+                st, ocx, ocy, ocz, cc)
+            valid = hit & (t_exit >= 0.0) & (tgt != skips[s])
+            g_dens = g_dens + jnp.sum(
+                jnp.where(valid, chord, 0.0) * gs[s])
+        dens_refs["s_dens"][p] += g_dens
+        return 0
+
+    def a_body(p, _):
+        mnx = refs["a_minx"][p] - ox
+        mny = refs["a_miny"][p] - oy
+        mnz = refs["a_minz"][p] - oz
+        mxx = refs["a_maxx"][p] - ox
+        mxy = refs["a_maxy"][p] - oy
+        mxz = refs["a_maxz"][p] - oz
+        ok = refs["a_miss"][p] == 0.0
+        tgt = refs["a_tgt"][p]
+        g_dens = 0.0
+        for s, st in enumerate(sets):
+            t_near, t_far, _, chord = _box_chord_terms(
+                st["ix"], st["iy"], st["iz"], mnx, mny, mnz, mxx, mxy, mxz)
+            valid = ((t_near <= t_far) & (t_far >= 0.0)
+                     & (tgt != skips[s]) & ok)
+            g_dens = g_dens + jnp.sum(
+                jnp.where(valid, chord, 0.0) * gs[s])
+        dens_refs["a_dens"][p] += g_dens
+        return 0
+
+    def o_body(p, _):
+        cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
+        hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
+        ok = refs["o_miss"][p] == 0.0
+        tgt = refs["o_tgt"][p]
+        lox, loy, loz = _mat_rotate(refs, p, ox - cx, oy - cy, oz - cz)
+        mn = (_neg(hx) - lox, _neg(hy) - loy, _neg(hz) - loz)
+        mx = (hx - lox, hy - loy, hz - loz)
+        g_dens = 0.0
+        for s, st in enumerate(sets):
+            ldx, ldy, ldz = _mat_rotate(refs, p,
+                                        st["dx"], st["dy"], st["dz"])
+            ix, iy, iz = _inv_dir(ldx, ldy, ldz, ldx)
+            t_near, t_far, _, chord = _box_chord_terms(
+                ix, iy, iz, *mn, *mx)
+            valid = ((t_near <= t_far) & (t_far >= 0.0)
+                     & (tgt != skips[s]) & ok)
+            g_dens = g_dens + jnp.sum(
+                jnp.where(valid, chord, 0.0) * gs[s])
+        dens_refs["o_dens"][p] += g_dens
+        return 0
+
+    if ns:
+        jax.lax.fori_loop(0, ns, s_body, 0)
+    if na:
+        jax.lax.fori_loop(0, na, a_body, 0)
+    if no:
+        jax.lax.fori_loop(0, no, o_body, 0)
+
+
+def run_multi_chord_dens_bwd(prim_fields: dict, counts, o, dirs, skips,
+                             gbar, interpret=False):
+    """Density-only adjoint: {dens_key: [P_type] grads}. gbar: [R, S]."""
+    R = o.shape[0]
+    S = len(dirs)
+    rp = _round_block(R)
+    names = list(prim_fields.keys())
+    dens_keys = [k for k in names if k.endswith("_dens")]
+
+    ray_names = ["ox", "oy", "oz"]
+    rays = [_pad_rays(o[:, 0], rp), _pad_rays(o[:, 1], rp),
+            _pad_rays(o[:, 2], rp)]
+    for s in range(S):
+        ray_names += [f"d{s}x", f"d{s}y", f"d{s}z"]
+        rays += [_pad_rays(dirs[s][:, 0], rp), _pad_rays(dirs[s][:, 1], rp),
+                 _pad_rays(dirs[s][:, 2], rp)]
+    for s in range(S):
+        ray_names.append(f"g{s}")
+        rays.append(_pad_rays(gbar[:, s], rp))  # zero-padded: contributes 0
+
+    all_names = ray_names + names
+    kernel = functools.partial(multi_chord_dens_bwd_kernel, counts,
+                               tuple(skips), all_names, dens_keys)
+    vma = _out_vma(rays, list(prim_fields.values()))
+    dens_out = [jax.ShapeDtypeStruct(prim_fields[k].shape, jnp.float32,
+                                     vma=vma)
+                for k in dens_keys]
+    outs = pl.pallas_call(
+        kernel,
+        grid=_grid(rp),
+        in_specs=([_ray_spec()] * len(rays)
+                  + [_prim_spec()] * len(prim_fields)),
+        out_specs=[_prim_spec()] * len(dens_keys),
+        out_shape=dens_out,
+        interpret=interpret,
+    )(*rays, *prim_fields.values())
+    return dict(zip(dens_keys, outs))
+
+
 def run_multi_chord_bwd(prim_fields: dict, counts, o, dirs, skips, gbar,
                         interpret=False):
     """(d_o [R,3], d_dirs list of S [R,3], {dens_key: [P_type] grads}).

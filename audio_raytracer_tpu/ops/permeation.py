@@ -54,28 +54,34 @@ def permeation(origin: Array, directions: Array, scene: Scene,
     # shared with the main trace when available.
     t = first_t if first_t is not None else backend.closest_t(o, d)
     hit = jnp.isfinite(t)
-    t_safe = jnp.where(hit, t, 0.0)
 
-    p = o + d * t_safe[..., None]
-    offset_point = p - d * cfg.epsilon  # cs:72
-
-    # All T target rays in one fused primitive stream (the per-target
-    # loop of cs:57-89 vectorized over targets).
-    dirs = []
-    for ti in range(T):
-        to_target = scene.target_positions[ti] - offset_point  # [R, 3]
-        dist = intersect.safe_norm(to_target)
-        dirs.append(to_target / dist[..., None])
-    losses = backend.multi_permeation_loss(offset_point, dirs,
-                                           tuple(range(T)))  # [R, T]
-    values = R_total * cfg.permeation_strength_per_ray - losses  # cs:260
-
-    # Last-hitting-ray-in-batch selection (the overwrite quirk).
+    # Last-hitting-ray-in-batch selection FIRST (the overwrite quirk):
+    # only the last hitting ray of each accumulation batch ever survives
+    # into PermeationPowerRemains (cs:85), so the chord integration runs
+    # on just those B rays — not the full [R, T] grid. At the 1M x 4K
+    # headline this turns the permeation pass from a full primitive
+    # stream (~165 ms) into one ray block (<1 ms), bit-identical output.
     batch_ids = accum_batch_ids(R, B)
     ray_idx = jnp.arange(R, dtype=jnp.int32)
     marker = jnp.where(hit, ray_idx + 1, 0)  # 0 = "no hit"
     last_plus1 = jax.ops.segment_max(marker, batch_ids, num_segments=B)
     any_hit_in_batch = last_plus1 > 0
-    gather_idx = jnp.maximum(last_plus1 - 1, 0)
-    selected = values[gather_idx]  # [B, T]
-    return jnp.where(any_hit_in_batch[:, None], selected, 0.0)
+    gather_idx = jnp.maximum(last_plus1 - 1, 0)  # [B]
+
+    d_sel = d[gather_idx]  # [B, 3]
+    t_sel = jnp.where(any_hit_in_batch, t[gather_idx], 0.0)
+    o_sel = o[gather_idx]
+    p = o_sel + d_sel * t_sel[..., None]
+    offset_point = p - d_sel * cfg.epsilon  # cs:72
+
+    # All T target rays in one fused primitive stream (the per-target
+    # loop of cs:57-89 vectorized over targets).
+    dirs = []
+    for ti in range(T):
+        to_target = scene.target_positions[ti] - offset_point  # [B, 3]
+        dist = intersect.safe_norm(to_target)
+        dirs.append(to_target / dist[..., None])
+    losses = backend.multi_permeation_loss(offset_point, dirs,
+                                           tuple(range(T)))  # [B, T]
+    values = R_total * cfg.permeation_strength_per_ray - losses  # cs:260
+    return jnp.where(any_hit_in_batch[:, None], values, 0.0)

@@ -127,7 +127,10 @@ def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend):
         from audio_raytracer_tpu.ops.pallas import PallasBackend
 
         def backend_fn(s):
-            return PallasBackend(s, differentiable=True)
+            # Materials training: positions are material-independent, so
+            # the chord adjoint's ray cotangents are dead — run the
+            # density-only backward kernel (pose_grads=False).
+            return PallasBackend(s, differentiable=True, pose_grads=False)
 
     @jax.jit
     def step(origin, dirs, scene):

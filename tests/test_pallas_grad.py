@@ -140,3 +140,28 @@ class TestForwardValueUnchanged:
         diff = loudness_map(origin, dirs, scene, cfg,
                             backend=_pallas_diff(scene))
         _assert_tree_allclose(dense, diff, rtol=1e-4, atol=1e-5)
+
+
+class TestDensOnlyAdjoint:
+    def test_dens_only_matches_full_adjoint(self, setup):
+        """pose_grads=False runs the density-only chord backward kernel;
+        material gradients must match the full hand-closed adjoint (ray
+        cotangents are dead in materials-only training)."""
+        scene, cfg, origin, dirs, target = setup
+        params = SceneParams.from_scene(scene)
+
+        def be_full(s):
+            return PallasBackend(s, interpret=True, differentiable=True)
+
+        def be_dens(s):
+            return PallasBackend(s, interpret=True, differentiable=True,
+                                 pose_grads=False)
+
+        g_full = jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
+                                         target, backend_fn=be_full)
+        g_dens = jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
+                                         target, backend_fn=be_dens)
+        total = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree.leaves(g_dens))
+        assert total > 0.0
+        _assert_tree_allclose(g_full, g_dens, rtol=1e-5, atol=1e-7)
