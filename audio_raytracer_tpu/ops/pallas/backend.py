@@ -37,6 +37,33 @@ class PallasBackend:
     through the unified-attribute gathers as always. Occlusion booleans
     stay straight-through (no tangents), matching models.differentiable.
     Forward values are unchanged up to float associativity.
+
+    Gradient-surface contract (differentiable=True):
+
+    - Supported cotangents: material absorption/density/echo, ray
+      origins/directions (and through them source/listener poses), and
+      winner-primitive geometry via the closest-hit recompute.
+    - Collider geometry reached ONLY through closest-hit *attrs*
+      (center/half_extents/inv_rot of non-winning uses) is gathered from
+      a stop-gradded table (``_geom_tab``) — its pose cotangents are
+      intentionally zero here, unlike DenseBackend. The BASELINE gradient
+      surface (materials + source/listener poses) never needs them, and
+      pruning the [R, 12]-per-bounce gather transpose saves ~32 ms/bounce
+      at the 1M x 4K headline. Use DenseBackend to differentiate collider
+      poses through attrs.
+    - ``pose_grads=False`` (materials-only training) runs the cheaper
+      density-only chord adjoint: d_origin / d_direction cotangents from
+      the permeation path come back **zero**, not an error. Only set it
+      when ray positions are independent of the differentiated
+      parameters (true for material optimization; NOT for source or
+      listener pose optimization — keep pose_grads=True there).
+
+    ``compute_dtype`` coverage: the bf16 tier applies to closest-hit and
+    the fused multi-set kernels (multi_occluded / multi_permeation_loss)
+    — the hot per-bounce paths. The legacy single-set ``occluded()`` /
+    ``permeation_loss()`` wrappers always run f32 (they are off the
+    per-bounce hot path; see ops/pallas/kernels.py for why bf16 is net
+    slower anyway).
     """
 
     def __init__(self, scene: Scene, interpret: bool = False,

@@ -32,6 +32,11 @@ def run():
         process_id=int(os.environ["ART_PROCESS_ID"]),
         prim_shards=int(os.environ.get("ART_PRIM_SHARDS", "2")),
         ray_count=int(os.environ.get("ART_RAY_COUNT", "64")),
+        # Per-shard intersection engine: "jnp" (fast default) or
+        # "pallas_interpret" — the kernel-tier cluster composition
+        # (multi-host x Pallas, the production pairing of BASELINE
+        # config 5 with the kernel engines).
+        backend=os.environ.get("ART_BACKEND", "jnp"),
         out=os.environ.get("ART_OUT"),
     )
 
@@ -77,7 +82,7 @@ def run():
     prim_sharded = args.prim_shards > 1
     scene_g = jax.tree.map(globalize, scene, scene_pspec(prim_sharded))
 
-    step = make_sharded_forward(cfg, mesh)
+    step = make_sharded_forward(cfg, mesh, backend=args.backend)
     settings = step(origin_g, dirs_g, scene_g)
     jax.block_until_ready(settings)
 

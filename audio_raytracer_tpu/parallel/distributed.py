@@ -103,7 +103,7 @@ def make_distributed_mesh(prim_shards: int = 1,
 
 def run_two_process_check(ray_count: int = 64, local_devices: int = 4,
                           prim_shards: int = 2, timeout: float = 600.0,
-                          port: int = 9931):
+                          port: int = 9931, backend: str = "jnp"):
     """Spawn a 2-process CPU cluster running the sharded forward and
     return process 0's TargetSettings fields as a dict of numpy arrays.
 
@@ -148,6 +148,7 @@ def run_two_process_check(ray_count: int = 64, local_devices: int = 4,
                 ART_PROCESS_ID=str(pid),
                 ART_PRIM_SHARDS=str(prim_shards),
                 ART_RAY_COUNT=str(ray_count),
+                ART_BACKEND=backend,
                 ART_OUT=out,
             )
             procs.append(subprocess.Popen([sys.executable, "-c", bootstrap],

@@ -51,7 +51,10 @@ def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         optimizer = optax.adam(1e-2)
     prim_shards = mesh.shape["prims"]
     prim_sharded = prim_shards > 1
-    check_vma = backend != "pallas_interpret"
+    # Same condition as sharded.py: BOTH pallas tiers (compiled Mosaic and
+    # the interpreter) break shard_map's vma typing on their fori carries,
+    # so vma checking is only enabled for the pure-jnp engine.
+    check_vma = backend == "jnp"
     pvary_axes = ("rays",) if check_vma else ()
 
     def local_loss(params, scene_geom, origin, dirs_local, target):
@@ -66,9 +69,15 @@ def make_sharded_train_step(cfg: TraceConfig, mesh: jax.sharding.Mesh,
                             backend=backend_, axis_name="rays",
                             total_ray_count=cfg.ray_count,
                             pvary_axes=pvary_axes)
-        return (jnp.mean((pred.muffle - target.muffle) ** 2)
+        loss = (jnp.mean((pred.muffle - target.muffle) ** 2)
                 + jnp.mean((pred.permeation - target.permeation) ** 2)
                 + (pred.reverb_energy - target.reverb_energy) ** 2)
+        # IR term, matching the single-device loudness_loss: pred.reverb_ir
+        # is already psum'd over 'rays' inside loudness_map, so the term is
+        # shard-invariant.
+        if pred.reverb_ir is not None and target.reverb_ir is not None:
+            loss = loss + jnp.mean((pred.reverb_ir - target.reverb_ir) ** 2)
+        return loss
 
     loss_fn = jax.shard_map(
         local_loss,

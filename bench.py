@@ -107,7 +107,13 @@ def _bench_fwd(args, cfg, scene, origin, dirs, backend):
     return dt
 
 
-def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend):
+def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
+                   pose_grads=False):
+    """fwd+bwd throughput. pose_grads=False = the materials-training
+    backward (density-only chord adjoint — positions are material
+    -independent so ray cotangents are dead); pose_grads=True = the FULL
+    hand-closed adjoint (ray-origin/direction cotangents + _mat_rotate_t
+    pullbacks), the source/listener-pose gradient workload."""
     import jax
     import jax.numpy as jnp
 
@@ -127,18 +133,26 @@ def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend):
         from audio_raytracer_tpu.ops.pallas import PallasBackend
 
         def backend_fn(s):
-            # Materials training: positions are material-independent, so
-            # the chord adjoint's ray cotangents are dead — run the
-            # density-only backward kernel (pose_grads=False).
-            return PallasBackend(s, differentiable=True, pose_grads=False)
+            return PallasBackend(s, differentiable=True,
+                                 pose_grads=pose_grads)
 
-    @jax.jit
-    def step(origin, dirs, scene):
-        return jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
-                                       target, backend_fn=backend_fn)
+    if pose_grads:
+        # Differentiate w.r.t. the listener origin too, so the full
+        # adjoint's ray cotangents are actually consumed.
+        @jax.jit
+        def step(origin, dirs, scene):
+            return jax.grad(loudness_loss, argnums=(0, 2))(
+                params, scene, origin, dirs, cfg, target,
+                backend_fn=backend_fn)
+    else:
+        @jax.jit
+        def step(origin, dirs, scene):
+            return jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
+                                           target, backend_fn=backend_fn)
 
     dt = _time_step(step, origin, dirs, scene, args.iters)
-    _emit("rays_per_s_per_chip_fwd_bwd", args.rays / dt,
+    suffix = "_posegrads" if pose_grads else ""
+    _emit(f"rays_per_s_per_chip_fwd_bwd{suffix}", args.rays / dt,
           {"step_ms": round(dt * 1e3, 2)})
     return dt
 
@@ -181,25 +195,49 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
     dtn = _time_step(step, origin, dirs, scene_p, args.iters)
 
     eff = dt1 / (dtn * n_dev)
+    # On forced-host-platform CPU meshes the N virtual devices share one
+    # set of physical cores, so the per-device speedup metric measures
+    # core contention, not the framework. There the honest number is the
+    # same-total-work ratio (1-device time / mesh time on the identical
+    # workload): 1.0 = sharding + collectives add zero overhead.
     _emit(f"rays_per_s_mesh_{ray_shards}x{prim_shards}", args.rays / dtn,
           {"step_ms": round(dtn * 1e3, 2),
            "scaling_efficiency_vs_1dev": round(eff, 4),
+           "same_work_efficiency_vs_1dev": round(dt1 / dtn, 4),
            "platform": devs[0].platform})
 
 
 def _spawn_cpu_scaling(py_args):
     """Record a multi-device scaling number on a forced CPU mesh (this box
-    has one TPU chip; the mesh path is validated on virtual devices)."""
+    has one TPU chip; the mesh path is validated on virtual devices).
+
+    This box's sitecustomize imports jax at interpreter startup and pins
+    the platform BEFORE env vars like JAX_PLATFORMS can act, so the child
+    re-points the platform through jax.config + clear_backends (the
+    tests/conftest.py / __graft_entry__.py recipe) before running the
+    bench module — env-var-only spawning yields 1 device here.
+    """
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)  # the bootstrap pins cpu itself
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
-    cmd = [sys.executable, os.path.abspath(__file__),
-           "--mesh", "8x1", "--rays", "65536", "--prims", "256",
-           "--iters", "3", "--backend", "jnp", "--no-scaling"]
+    bench_path = os.path.abspath(__file__)
+    child_args = ["bench.py", "--mesh", "8x1", "--rays", "65536",
+                  "--prims", "256", "--iters", "3", "--backend", "jnp",
+                  "--no-scaling"]
+    bootstrap = (
+        "import jax;"
+        "jax.config.update('jax_platforms', 'cpu');\n"
+        "try:\n"
+        "    import jax.extend.backend as _jeb; _jeb.clear_backends()\n"
+        "except Exception:\n"
+        "    from jax._src import xla_bridge as _xb; _xb._clear_backends()\n"
+        f"import runpy, sys; sys.argv = {child_args!r};"
+        f"runpy.run_path({bench_path!r}, run_name='__main__')"
+    )
     try:
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                             timeout=600)
+        out = subprocess.run([sys.executable, "-c", bootstrap], env=env,
+                             capture_output=True, text=True, timeout=600)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
@@ -228,6 +266,9 @@ def main():
                         "efficiency vs 1 device)")
     p.add_argument("--no-scaling", action="store_true",
                    help="skip the auxiliary CPU-mesh scaling record")
+    p.add_argument("--pose-grads", dest="pose_grads", action="store_true",
+                   help="also bench the FULL pose-gradient backward "
+                        "(ray cotangents + rotation pullbacks)")
     args = p.parse_args()
 
     import jax
@@ -246,6 +287,9 @@ def main():
         _bench_fwd(args, cfg, scene, origin, dirs, backend)
     if args.mode in ("both", "fwd_bwd"):
         _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
+    if args.mode == "both" or args.pose_grads:
+        _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
+                       pose_grads=True)
     if args.mode == "both" and not args.no_scaling:
         _spawn_cpu_scaling(args)
 
