@@ -66,6 +66,11 @@ def sample_scene_dict(ray_count: int = 314, max_bounces: int = 4) -> dict:
             "permeation_effectiveness": 0.5,
             "permeation_strength_per_ray": 1.0,
             "max_reverb_distance": 35.0,
+            # Impulse-response recording on so the demo renders the
+            # audible convolution reverb tail (the reference leans on
+            # Unity's AudioReverbFilter for this part of the sound).
+            "num_reverb_bins": 32,
+            "ir_max_distance": 125.0,
         },
         "listener": {"position": [0.0, 1.6, 0.0]},
         "targets": [

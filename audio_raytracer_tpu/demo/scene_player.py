@@ -37,11 +37,14 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
     loop = AsyncRaytraceLoop(loaded.registry, loaded.cfg, backend=backend,
                              compute_async=False)
     T = len(loaded.target_names)
+    n_bins = loaded.cfg.num_reverb_bins
     history = dict(muffle=np.zeros((frames, T)),
                    reverb_strength=np.zeros(frames),
                    reverb_volume=np.zeros(frames),
                    listener=np.zeros((frames, 3)),
                    frame_ms=np.zeros(frames))
+    if n_bins > 0:
+        history["reverb_ir"] = np.zeros((frames, n_bins))
 
     for f in range(frames):
         t0 = time.perf_counter()
@@ -56,6 +59,8 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
             history["muffle"][f] = np.asarray(settings.muffle)
             history["reverb_strength"][f] = float(settings.reverb_strength)
             history["reverb_volume"][f] = float(settings.reverb_volume)
+            if n_bins > 0 and loop.reverb_ir is not None:
+                history["reverb_ir"][f] = np.asarray(loop.reverb_ir)
         history["listener"][f] = np.asarray(pos)
         history["frame_ms"][f] = (time.perf_counter() - t0) * 1e3
         if verbose and f % max(1, frames // 10) == 0:
@@ -68,12 +73,20 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
 
 def render_wav(loaded, history, path, sample_rate=48000, dt=1.0 / 60.0):
     """Render each target as a distinct tone through the DSP chain, using
-    the per-frame ray-traced settings; mix to stereo 16-bit WAV."""
+    the per-frame ray-traced settings; mix to stereo 16-bit WAV.
+
+    When the trace recorded an impulse response
+    (cfg.num_reverb_bins > 0), the IR-driven convolution tail is
+    rendered too — the audible reverb the reference delegated to
+    Unity's AudioReverbFilter."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from audio_raytracer_tpu.models.spatializer import (
         DSPState,
         SpatializerSettings,
+        ir_kernel_length,
         spatialize,
     )
     from audio_raytracer_tpu.types import TargetSettings
@@ -82,9 +95,26 @@ def render_wav(loaded, history, path, sample_rate=48000, dt=1.0 / 60.0):
     T = history["muffle"].shape[1]
     n_per_frame = int(sample_rate * dt)
     settings = SpatializerSettings.default()
+    ir_hist = history.get("reverb_ir")
+    tail_len = None
+    if ir_hist is not None:
+        settings = dataclasses.replace(
+            settings, render_reverb_tail=True,
+            reverb_ir_max_distance=jnp.float32(loaded.cfg.ir_max_distance))
+        tail_len = ir_kernel_length(ir_hist.shape[1],
+                                    float(loaded.cfg.ir_max_distance),
+                                    float(sample_rate)) - 1
     freqs = [220.0 * (1.5 ** i) for i in range(T)]
-    states = [DSPState.zero() for _ in range(T)]
+    states = [DSPState.zero(tail_len=tail_len) for _ in range(T)]
     targets = np.asarray(loaded.registry.snapshot().target_positions)
+
+    # One compiled DSP step (shapes are frame-invariant): eager
+    # per-sample-op dispatch through a relayed device would pay the
+    # host<->device round trip per op.
+    import jax
+
+    jit_spatialize = jax.jit(
+        spatialize, static_argnames=("sample_rate", "volume_multiplier"))
 
     mix = np.zeros((frames * n_per_frame, 2), np.float32)
     phase = np.zeros(T)
@@ -105,9 +135,12 @@ def render_wav(loaded, history, path, sample_rate=48000, dt=1.0 / 60.0):
             rel = targets[ti] - listener
             dist = float(np.linalg.norm(rel))
             local = jnp.asarray(rel / max(dist, 1e-6), jnp.float32)
-            out, states[ti], _ = spatialize(
-                buf, states[ti], settings, rt, ti, local,
-                jnp.asarray(dist), float(sample_rate))
+            ir = (jnp.asarray(ir_hist[f], jnp.float32)
+                  if ir_hist is not None else None)
+            out, states[ti], _ = jit_spatialize(
+                buf, states[ti], settings, rt, jnp.int32(ti), local,
+                jnp.asarray(dist), sample_rate=float(sample_rate),
+                reverb_ir=ir)
             mix[f * n:(f + 1) * n] += np.asarray(out)
 
     peak = np.abs(mix).max() or 1.0

@@ -71,6 +71,21 @@ class SpatializerSettings:
     reverb_strength_curve: SampledCurve = None
     reverb_dry_boost: MinMax = None
     reverb_volume_curve: SampledCurve = None
+    # --- IR-driven reverb tail (this framework's upgrade of the
+    # reference's delegation to Unity's AudioReverbFilter:
+    # Audio/AudioTarget/ReverbDSP.cs:10-24 only computes a dry boost and
+    # AudioSpatializer.cs:58 maps ReverbStrength onto the filter's
+    # dryLevel — the audible tail lives inside the engine's black-box
+    # reverb unit. Here the tracer already produces a physical impulse
+    # response (ops/reverb.py), so the tail is rendered by convolving
+    # the source with that IR — audible, scene-driven, and honest.) ---
+    render_reverb_tail: bool = static_field(default=False)
+    # Wet level = reverb_wet_level.lerp(strength_curve(reverb_strength)):
+    # the tail analog of the dryLevel mapping (AudioSpatializer.cs:58).
+    reverb_wet_level: MinMax = None
+    # Echo-distance window the IR bins span (must match the tracer's
+    # TraceConfig.ir_max_distance so bin -> arrival-time mapping agrees).
+    reverb_ir_max_distance: Array = None
 
     @staticmethod
     def default() -> "SpatializerSettings":
@@ -95,22 +110,33 @@ class SpatializerSettings:
             reverb_strength_curve=SampledCurve.linear(),
             reverb_dry_boost=MinMax.of(1.0, 3.0),
             reverb_volume_curve=SampledCurve.linear(),
+            reverb_wet_level=MinMax.of(0.0, 0.5),
+            reverb_ir_max_distance=f(125.0),
         )
 
 
 @pytree_dataclass
 class DSPState:
-    """Per-source filter memories (the C# struct fields), stereo pairs."""
+    """Per-source filter memories (the C# struct fields), stereo pairs.
+
+    ``reverb_tail`` is the overlap-add carry of the IR convolution
+    stage: the last L-1 convolved samples that extend past the current
+    buffer ([L-1, 2]; None when the tail stage is off). Size it with
+    ``DSPState.zero(tail_len=ir_kernel_length(...) - 1)``.
+    """
 
     muffle_prev: Array  # [2]
     lp_prev: Array  # [2]
     hp_prev_out: Array  # [2]
     hp_prev_in: Array  # [2]
+    reverb_tail: Array | None = None  # [L-1, 2]
 
     @staticmethod
-    def zero() -> "DSPState":
+    def zero(tail_len: int | None = None) -> "DSPState":
         z = jnp.zeros((2,), jnp.float32)
-        return DSPState(z, z, z, z)
+        tail = (jnp.zeros((tail_len, 2), jnp.float32)
+                if tail_len else None)
+        return DSPState(z, z, z, z, tail)
 
 
 def _one_pole_lp(x: Array, prev: Array, alpha: Array):
@@ -143,6 +169,58 @@ def _one_pole_hp(x: Array, prev_out: Array, prev_in: Array, alpha: Array):
     return y, y[-1], x[-1]
 
 
+def ir_kernel_length(num_bins: int, ir_max_distance: float,
+                     sample_rate: float) -> int:
+    """FIR length L covering the last IR bin's center arrival time.
+
+    Static (Python ints) so buffer/tail shapes stay jit-stable."""
+    from audio_raytracer_tpu.ops.reverb import SPEED_OF_SOUND
+
+    width = ir_max_distance / SPEED_OF_SOUND / num_bins
+    return int(round((num_bins - 0.5) * width * sample_rate)) + 1
+
+
+def ir_to_fir(reverb_ir: Array, ir_max_distance, sample_rate,
+              length: int) -> Array:
+    """[L] amplitude-domain FIR from the tracer's energy IR histogram
+    (ops/reverb.impulse_response): each bin's energy becomes a sqrt
+    -amplitude tap at its center arrival time, and the whole FIR is
+    normalized to unit energy (sum h^2 = 1, guarding empty IRs) so the
+    wet level is controlled solely by the settings gain."""
+    from audio_raytracer_tpu.ops.reverb import SPEED_OF_SOUND
+
+    n = reverb_ir.shape[0]
+    width = ir_max_distance / SPEED_OF_SOUND / n
+    times = (jnp.arange(n, dtype=jnp.float32) + 0.5) * width
+    idx = jnp.clip(jnp.round(times * sample_rate).astype(jnp.int32),
+                   0, length - 1)
+    energy = jnp.maximum(reverb_ir.astype(jnp.float32), 0.0)
+    amp = jnp.sqrt(energy)
+    h = jnp.zeros((length,), jnp.float32).at[idx].add(amp)
+    norm = jnp.sqrt(jnp.sum(h * h))
+    return h / jnp.maximum(norm, 1e-12)
+
+
+def convolve_tail(x: Array, h: Array, tail: Array):
+    """Overlap-add FFT convolution of one stereo buffer with the IR FIR.
+
+    x: [N, 2]; h: [L]; tail: [L-1, 2] carry from previous buffers.
+    Returns (wet [N, 2], new_tail [L-1, 2]). Per-frame IR updates
+    crossfade naturally: the carried tail was produced by the previous
+    frame's FIR and decays out while new input convolves with the new
+    one.
+    """
+    N = x.shape[0]
+    L = h.shape[0]
+    M = N + L - 1
+    nfft = 1 << (M - 1).bit_length()
+    X = jnp.fft.rfft(x, n=nfft, axis=0)
+    H = jnp.fft.rfft(h, n=nfft)[:, None]
+    y = jnp.fft.irfft(X * H, n=nfft, axis=0)[:M]
+    y = y.at[: L - 1].add(tail)
+    return y[:N], y[N:]
+
+
 def _alpha_lp(cutoff, sample_rate):
     rc = 1.0 / (cutoff * TWO_PI)
     dt = 1.0 / sample_rate
@@ -158,11 +236,17 @@ def _alpha_hp(cutoff, sample_rate):
 def spatialize(buffer: Array, state: DSPState,
                settings: SpatializerSettings, rt: TargetSettings,
                target_index: int | Array, local_dir: Array, distance: Array,
-               sample_rate: float, volume_multiplier: float = 1.0):
+               sample_rate: float, volume_multiplier: float = 1.0,
+               reverb_ir: Array | None = None):
     """Process one stereo buffer [N, 2] for one audio target.
 
     rt: TargetSettings from the tracer (muffle per target, reverb global).
     local_dir: [3] listener-local unit direction to the source.
+    reverb_ir: optional [n_bins] impulse-response histogram from the
+    tracer (TraceResult.reverb_ir); with
+    ``settings.render_reverb_tail`` and a tail-carrying state
+    (DSPState.zero(tail_len=...)), an audible convolution tail is mixed
+    in after the binaural stage.
     Returns (out [N, 2], new_state, reverb_dry_level scalar).
     """
     muffle_strength = rt.muffle[target_index]
@@ -235,6 +319,21 @@ def spatialize(buffer: Array, state: DSPState,
 
     # --- Final volume (AudioSpatializer.cs:79-86) ---
     x = x * volume_multiplier
+
+    # --- IR-driven reverb tail (replaces the reference's black-box
+    # AudioReverbFilter; see SpatializerSettings.render_reverb_tail) ---
+    if (settings.render_reverb_tail and reverb_ir is not None
+            and state.reverb_tail is not None):
+        L = state.reverb_tail.shape[0] + 1
+        h = ir_to_fir(reverb_ir, settings.reverb_ir_max_distance,
+                      sample_rate, L)
+        wet_gain = settings.reverb_wet_level.lerp(
+            settings.reverb_strength_curve.evaluate(rt.reverb_strength))
+        # Gain is folded into the FIR so the carried tail is already
+        # scaled (adding it raw next frame would double-apply the gain).
+        wet, new_tail = convolve_tail(x, wet_gain * h, state.reverb_tail)
+        x = x + wet
+        new_state = dataclasses.replace(new_state, reverb_tail=new_tail)
 
     # Unity AudioReverbFilter dryLevel mapping (AudioSpatializer.cs:58).
     dry_level = settings.reverb_dry_level.lerp(rt.reverb_strength)

@@ -51,10 +51,12 @@ class DenseBackend:
         self._packed = (intersect.packed_unified_table(self._uni)
                         if self._uni is not None else None)
 
-    def local_closest(self, o: Array, d: Array):
+    def local_closest(self, o: Array, d: Array, alive: Array | None = None):
         """(t [R] (+inf miss), idx [R] int32 in [sphere,aabb,obb] order).
 
-        The local-engine protocol consumed by PrimShardedBackend."""
+        The local-engine protocol consumed by PrimShardedBackend.
+        ``alive`` is accepted for protocol parity and ignored — the dense
+        [R, P] grid computes every lane regardless; callers mask."""
         _, t, idx = intersect.closest_hit(o, d, self.scene)
         return t, idx
 
@@ -62,8 +64,10 @@ class DenseBackend:
         """[..., 16] packed winner-attribute rows for local indices."""
         return self._packed[idx]
 
-    def closest_hit(self, o: Array, d: Array):
-        """Returns (hit [R], t [R], attrs dict of per-ray hit attributes)."""
+    def closest_hit(self, o: Array, d: Array, alive: Array | None = None):
+        """Returns (hit [R], t [R], attrs dict of per-ray hit attributes).
+
+        ``alive`` is ignored here (see local_closest)."""
         hit, t, idx = intersect.closest_hit(o, d, self.scene)
         if self._uni is None:
             z3 = jnp.zeros(o.shape, o.dtype)
@@ -173,8 +177,14 @@ class PrimShardedBackend:
             jnp.where(winner, t_loc - ts, 0.0), self.axis)
         return t_min, winner, t_diff
 
-    def closest_hit(self, o: Array, d: Array):
-        t_loc, idx = self.engine.local_closest(o, d)
+    @property
+    def supports_block_skip(self) -> bool:
+        """Delegated: aliveness compaction helps iff the local engine's
+        kernels can skip fully-dead ray blocks."""
+        return getattr(self.engine, "supports_block_skip", False)
+
+    def closest_hit(self, o: Array, d: Array, alive: Array | None = None):
+        t_loc, idx = self.engine.local_closest(o, d, alive=alive)
         rank_loc = self._global_ranks()[idx]
         t_min, winner, t_diff = self._merge_min(t_loc, rank_loc)
 

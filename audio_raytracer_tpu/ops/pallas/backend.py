@@ -187,14 +187,20 @@ class PallasBackend:
         must recompute the merged winner's t differentiably."""
         return self.differentiable
 
-    def local_closest(self, o: Array, d: Array):
+    # Fully-dead ray blocks skip the primitive stream (closest_hit) or
+    # resolve from their init bits (multi_occluded) — ops.trace compacts
+    # by aliveness between bounces so this actually fires.
+    supports_block_skip = True
+
+    def local_closest(self, o: Array, d: Array, alive: Array | None = None):
         """(t [R] (+inf miss), idx [R] clamped local winner index)."""
         sg = jax.lax.stop_gradient
         t, rank = K.run_closest_hit(self._sg_fields, self.counts,
                                     sg(o.astype(jnp.float32)),
                                     sg(d.astype(jnp.float32)),
                                     interpret=self.interpret,
-                                    dtype=self.compute_dtype)
+                                    dtype=self.compute_dtype,
+                                    alive=alive)
         return t, jnp.minimum(rank, self.total - 1)
 
     def attr_rows(self, idx: Array) -> Array:
@@ -202,7 +208,7 @@ class PallasBackend:
 
     # -- Backend protocol ---------------------------------------------------
 
-    def closest_hit(self, o: Array, d: Array):
+    def closest_hit(self, o: Array, d: Array, alive: Array | None = None):
         if self.total == 0:
             z3 = jnp.zeros(o.shape, o.dtype)
             t = jnp.full(o.shape[:-1], jnp.inf, o.dtype)
@@ -217,7 +223,8 @@ class PallasBackend:
         t, rank = K.run_closest_hit(self._sg_fields, self.counts,
                                     sg(o32), sg(d32),
                                     interpret=self.interpret,
-                                    dtype=self.compute_dtype)
+                                    dtype=self.compute_dtype,
+                                    alive=alive)
         idx = jnp.minimum(rank, self.total - 1)
         geom = self._geom_tab[idx]
         mat = self._mat_tab[idx]

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from audio_raytracer_tpu.ops.backend import NO_SKIP
 from audio_raytracer_tpu.ops.pallas.kernels import (
     BIG,
     INT_MAX,
@@ -167,7 +168,8 @@ def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
                 entering = c_pos & (h <= 0.0) & ((hl > 0.0) | (q < 0.0))
                 inside = c_neg & (hl > 0.0) & (q > 0.0)
                 occ = (h * h >= c) & (entering | inside)
-                occ = occ & (tgt != skips[s])
+                if skips[s] != NO_SKIP:  # echo set: statically no skip
+                    occ = occ & (tgt != skips[s])
                 new.append(_match_vma(jnp.where(occ, one, accs[s]),
                                       accs[s]))
             return tuple(new)
@@ -185,7 +187,9 @@ def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
             for s, st in enumerate(sets):
                 t = _slab_t_pre(mnx, mny, mnz, mxx, mxy, mxz,
                                 st["ix"], st["iy"], st["iz"]) + miss_add
-                occ = (t < st["lim"]) & (tgt != skips[s])
+                occ = t < st["lim"]
+                if skips[s] != NO_SKIP:
+                    occ = occ & (tgt != skips[s])
                 new.append(_match_vma(jnp.where(occ, one, accs[s]),
                                       accs[s]))
             return tuple(new)
@@ -206,7 +210,9 @@ def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
                 ix, iy, iz = _inv_dir(ldx, ldy, ldz, ldx)
                 t = _slab_t_pre(mnx, mny, mnz, mxx, mxy, mxz, ix, iy, iz) \
                     + miss_add
-                occ = (t < st["lim"]) & (tgt != skips[s])
+                occ = t < st["lim"]
+                if skips[s] != NO_SKIP:
+                    occ = occ & (tgt != skips[s])
                 new.append(_match_vma(jnp.where(occ, one, accs[s]),
                                       accs[s]))
             return tuple(new)

@@ -28,6 +28,29 @@ SMEM capacity bounds the primitive count per kernel call (~512 KB ->
 ~16K mixed primitives with every field resident); the PallasBackend
 asserts the bound. Rays are unbounded (blocked over the grid).
 
+Performance notes (measured on v5e at the 1M x 4K x 4-target headline;
+round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
+
+- Divisions were ~15-20% of the OBB paths (3 per (prim, set)); replaced
+  by the approximate-reciprocal + one-Newton-step _fast_recip (~f32
+  exact, 395 -> 305 ms on an all-OBB occlusion stream).
+- The per-set test math is near its intrinsic op-count minimum; the
+  kernels run register-pressure-limited, NOT ILP-starved: manually
+  unrolling the primitive loop 2x REGRESSED 1.9x (spills), and 16-row
+  f32 blocks regressed ~5% for the same reason. Don't re-try those.
+- Splitting the 5-set fused occlusion into smaller set groups loses:
+  the shared per-prim terms get recomputed (S=3 + S=2 costs ~10% more
+  than S=5 in one stream).
+- Aliveness: fully-dead ray blocks skip the primitive stream (the
+  ``av`` input below + the fused kernels' init bits). With the default
+  long-ray-life workload the alive fraction stays >= 0.74 through the
+  last bounce, so the explicit alive-first compaction
+  (ops/trace.alive_partition) is ~net-neutral there (its two packed
+  permutation gathers cost ~14 ms/bounce — and must be GATHERS: a
+  scatter-based restore cost ~67 ms/bounce, TPU scatter serializes).
+  At the reference's own maxRayLife=125 budget rays die fast and
+  compaction is ~10% end-to-end (1122 -> 1012 ms).
+
 Reduced precision (``compute_dtype="bfloat16"``): kernels run geometry
 arithmetic in bf16 (16, 512) blocks with f32 islands for every cmp /
 select / sqrt / division (Mosaic on this platform rejects those ops in
@@ -242,12 +265,22 @@ def _neg(x):
     return -x
 
 
+def _fast_recip(x):
+    """~f32-exact reciprocal: VPU approximate-reciprocal seed + one
+    Newton-Raphson step (r1 = r0 (2 - x r0), ~1e-7 rel error) — ~3 VPU
+    ops vs ~10 for a full divide. The OBB paths issue 3 reciprocals per
+    (primitive, ray set); at 4K prims x 5 sets this is ~15% of the
+    whole forward step when done with real divisions."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
 def _inv_dir(ldx, ldy, ldz, cdt_of):
     """1 / safe_dir per local axis: f32 island (Mosaic has no bf16
     division), result back in the compute dtype for the slab products."""
-    ix = 1.0 / _safe_dir(_f32(ldx))
-    iy = 1.0 / _safe_dir(_f32(ldy))
-    iz = 1.0 / _safe_dir(_f32(ldz))
+    ix = _fast_recip(_safe_dir(_f32(ldx)))
+    iy = _fast_recip(_safe_dir(_f32(ldy)))
+    iz = _fast_recip(_safe_dir(_f32(ldz)))
     dt = cdt_of.dtype
     return ix.astype(dt), iy.astype(dt), iz.astype(dt)
 
@@ -281,45 +314,71 @@ def closest_hit_kernel(counts, names, cdt, *refs_list):
     strict < update: AudioRaytracerJobBatched.cs:225-280) vectorized over
     the ray block. ``cdt`` is the compute dtype (f32, or bf16 for the
     2x-throughput reduced-precision tier).
+
+    ``av`` is a per-lane aliveness block (1.0 = alive): blocks whose
+    every lane is dead skip the primitive stream and report all-miss —
+    the TPU analog of the reference's per-ray early exit
+    (AudioRaytracerJobBatched.cs:104). ops.trace compacts rays by
+    aliveness between bounces so dead lanes pool into skippable blocks.
     """
     ns, na, no = counts
-    refs = _cast_refs(dict(zip(names, refs_list[:len(names)])), cdt)
+    refs = _cast_refs(dict(zip(names, refs_list[:len(names)])), cdt,
+                      keep={"av"})
     t_out, win_out = refs_list[len(names)], refs_list[len(names) + 1]
 
+    av = refs["av"][...]  # f32 aliveness (padding lanes arrive dead)
+    pre = jnp.max(av)
+
+    # Ray-block loads stay OUTSIDE the skip branches (see fused.py: values
+    # loaded inside a pl.when closure lose their varying-manual-axes type
+    # under compiled shard_map traces; the block DMA happens per grid step
+    # regardless).
     ox, oy, oz, dx, dy, dz, ix, iy, iz, a = _ray_block_inputs(refs)
     a2 = 2.0 * a
     inv2a = 1.0 / a2
     shape = ox.shape
 
-    # Per-prim t values come back f32 (cmp/select islands), so the
-    # running minimum and its strict-< update stay exact in every tier.
-    best_t = jnp.full(shape, BIG, jnp.float32)
-    best_i = jnp.full(shape, INT_MAX, jnp.int32)
+    @pl.when(pre < 0.5)
+    def _dead():
+        # Whole block dead: all-miss, no primitive stream.
+        t_out[...] = _match_vma(jnp.full(shape, BIG, jnp.float32), av)
+        win_out[...] = _match_vma(jnp.full(shape, INT_MAX, jnp.int32), av)
 
-    def update(best, t, rank):
-        bt, bi = best
-        upd = t < bt
-        return jnp.where(upd, t, bt), jnp.where(upd, rank, bi)
+    @pl.when(pre >= 0.5)
+    def _scan():
+        # Per-prim t values come back f32 (cmp/select islands), so the
+        # running minimum and its strict-< update stay exact in every
+        # tier.
+        best_t = _match_vma(jnp.full(shape, BIG, jnp.float32), av)
+        best_i = _match_vma(jnp.full(shape, INT_MAX, jnp.int32), av)
 
-    if ns:
-        def s_body(p, best):
-            return update(best,
-                          _sphere_t(refs, p, ox, oy, oz, dx, dy, dz,
-                                    a2, inv2a), p)
-        best_t, best_i = jax.lax.fori_loop(0, ns, s_body, (best_t, best_i))
-    if na:
-        def a_body(p, best):
-            return update(best, _aabb_t(refs, p, ox, oy, oz, ix, iy, iz),
-                          ns + p)
-        best_t, best_i = jax.lax.fori_loop(0, na, a_body, (best_t, best_i))
-    if no:
-        def o_body(p, best):
-            return update(best, _obb_t(refs, p, ox, oy, oz, dx, dy, dz),
-                          ns + na + p)
-        best_t, best_i = jax.lax.fori_loop(0, no, o_body, (best_t, best_i))
+        def update(best, t, rank):
+            bt, bi = best
+            upd = t < bt
+            return jnp.where(upd, t, bt), jnp.where(upd, rank, bi)
 
-    t_out[...] = best_t
-    win_out[...] = best_i
+        if ns:
+            def s_body(p, best):
+                return update(best,
+                              _sphere_t(refs, p, ox, oy, oz, dx, dy, dz,
+                                        a2, inv2a), p)
+            best = jax.lax.fori_loop(0, ns, s_body, (best_t, best_i))
+            best_t, best_i = best
+        if na:
+            def a_body(p, best):
+                return update(best, _aabb_t(refs, p, ox, oy, oz, ix, iy, iz),
+                              ns + p)
+            best = jax.lax.fori_loop(0, na, a_body, (best_t, best_i))
+            best_t, best_i = best
+        if no:
+            def o_body(p, best):
+                return update(best, _obb_t(refs, p, ox, oy, oz, dx, dy, dz),
+                              ns + na + p)
+            best = jax.lax.fori_loop(0, no, o_body, (best_t, best_i))
+            best_t, best_i = best
+
+        t_out[...] = best_t
+        win_out[...] = best_i
 
 
 def any_hit_kernel(counts, names, *refs_list):
@@ -573,13 +632,17 @@ def _out_vma(*operands):
 
 
 def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, alive=None):
     """o, d: [R, 3] -> (t [R] f32 (+inf miss), rank [R] int32).
 
     ``prim_fields``: dict of 1-D scalar arrays (see PallasBackend);
     ``counts``: true (ns, na, no). ``dtype``: compute dtype (bf16 runs
     ~2x faster; t carries ~8-bit mantissa and near-tie winners may
-    differ from the f32 scan).
+    differ from the f32 scan). ``alive``: optional [R] bool — blocks
+    whose lanes are ALL dead skip the primitive stream and report miss
+    (mixed blocks still compute every lane; callers mask dead lanes
+    themselves). Pair with ops.trace's aliveness compaction so dead
+    lanes pool into fully-skippable blocks.
     """
     R = o.shape[0]
     rows = _rows(dtype)
@@ -588,10 +651,13 @@ def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False,
     geom = [k for k in names
             if not k.endswith("_tgt") and not k.endswith("_dens")]
     fields = {k: prim_fields[k] for k in geom}
-    ray_names = ["ox", "oy", "oz", "dx", "dy", "dz"]
+    av = (jnp.ones((R,), jnp.float32) if alive is None
+          else alive.astype(jnp.float32))
+    ray_names = ["ox", "oy", "oz", "dx", "dy", "dz", "av"]
     rays = [_pad_rays(o[:, 0], rp, dtype), _pad_rays(o[:, 1], rp, dtype),
             _pad_rays(o[:, 2], rp, dtype), _pad_rays(d[:, 0], rp, dtype),
-            _pad_rays(d[:, 1], rp, dtype), _pad_rays(d[:, 2], rp, dtype)]
+            _pad_rays(d[:, 1], rp, dtype), _pad_rays(d[:, 2], rp, dtype),
+            _pad_rays(av, rp)]  # zero-padded: padding lanes arrive dead
     # Padded rays have d = 0 -> nudged dirs; results sliced off anyway.
 
     all_names = ray_names + list(fields.keys())
@@ -600,7 +666,7 @@ def run_closest_hit(prim_fields: dict, counts, o, d, interpret=False,
     t, win = pl.pallas_call(
         kernel,
         grid=_grid(rp, rows),
-        in_specs=[_ray_spec(rows)] * 6 + [_prim_spec()] * len(fields),
+        in_specs=[_ray_spec(rows)] * 7 + [_prim_spec()] * len(fields),
         out_specs=[_ray_spec(rows), _ray_spec(rows)],
         out_shape=[_ray_out(rp, jnp.float32, vma),
                    _ray_out(rp, jnp.int32, vma)],

@@ -48,6 +48,66 @@ def accum_batch_ids(ray_count: int, num_batches: int) -> jnp.ndarray:
     return (ray_start * num_batches) // ray_count
 
 
+def alive_partition(alive: Array) -> tuple[Array, Array]:
+    """Stable alive-first permutation and its inverse: ``(order, pos)``
+    with x[order] packing the alive lanes into a dense prefix (relative
+    order preserved on both sides) and y[pos] undoing it
+    (y[pos][order] == y... i.e. pos[i] is where lane i lands).
+
+    ``order`` comes from XLA's stable boolean sort (~1 ms at 1M rays on
+    a v5e); ``pos`` from two cumsums. BOTH directions are applied as
+    gathers — never as a scatter: TPU scatter lowers to a serialized
+    update loop (~67 ms per bounce for the packed output rows when this
+    used .at[].set; the gather form is ~100x cheaper).
+
+    This is the between-bounce ray compaction that makes the kernel
+    tier's fully-dead-block skipping actually fire (the reference's
+    per-ray early exit, AudioRaytracerJobBatched.cs:104, has no per-lane
+    analog on the VPU — but pooling dead lanes into whole skippable
+    blocks recovers the work saving at block granularity).
+    """
+    order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
+    a = alive.astype(jnp.int32)
+    pos_alive = jnp.cumsum(a) - a  # rank among alive lanes
+    n_alive = pos_alive[-1] + a[-1]
+    dead = 1 - a
+    pos_dead = jnp.cumsum(dead) - dead + n_alive
+    pos = jnp.where(alive, pos_alive, pos_dead).astype(jnp.int32)
+    return order, pos
+
+
+def _pack_rows(*cols) -> Array:
+    """Pack per-ray columns ([R] or [R, k], f32/int32/bool) into one
+    [R, K] f32 row matrix. Ints are bitcast (exact); bools go via f32.
+
+    Permuting ray state must move WHOLE ROWS: K separate [R] gathers at
+    1M rays cost ~7 ms each (4-byte random access is HBM-latency bound)
+    while one [R, K] row gather is coalesced and ~50x cheaper. Same for
+    the scatter-back of per-bounce outputs.
+    """
+    parts = []
+    for c in cols:
+        if c.dtype == jnp.int32:
+            c = jax.lax.bitcast_convert_type(c, jnp.float32)
+        elif c.dtype == jnp.bool_:
+            c = c.astype(jnp.float32)
+        else:
+            c = c.astype(jnp.float32)
+        parts.append(c[:, None] if c.ndim == 1 else c)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_col(rows: Array, sl, dtype=jnp.float32):
+    """Inverse of _pack_rows for one column slice."""
+    c = rows[:, sl]
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(c, jnp.int32)
+    if dtype == jnp.bool_:
+        return c > 0.5
+    return c.astype(dtype)
+
+
 def _secondary_occlusion(backend, scene: Scene, cfg: TraceConfig,
                          offset_point: Array, p: Array, origin: Array,
                          live_hit: Array):
@@ -120,11 +180,38 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         backend = DenseBackend(scene)
 
     batch_ids = accum_batch_ids(R, cfg.num_accum_batches)
+    # Block-skip aliveness is free on engines that support it: the kernel
+    # skips fully-dead ray blocks outright (deaths cluster along the
+    # Fibonacci latitude bands, so whole contiguous blocks do die).
+    block_skip = getattr(backend, "supports_block_skip", False)
+    # The explicit alive-first reorder (cfg.compact_rays) additionally
+    # pools scattered dead lanes into skippable blocks — but its data
+    # movement (~15 gathers/scatters of [R] per bounce, ~100 ms at 1M
+    # rays on a v5e) only pays off when rays die fast (short
+    # max_ray_life / high absorption). Measured at the 1M x 4K headline
+    # with max_ray_life=300 the alive fraction stays >= 0.74 through the
+    # last bounce and the reorder is a net loss, hence default-off.
+    compact = cfg.compact_rays and block_skip
+
+    dt = directions.dtype
 
     def bounce(carry, step):
         o, d, life, alive = carry
+        pos = None
+        if compact:
+            # Stable alive-first reorder: carry in, everything back out
+            # via the inverse gather at the end of the bounce. One packed
+            # row gather each way (see _pack_rows) keeps the movement
+            # coalesced.
+            order, pos = alive_partition(alive)
+            rows = _pack_rows(o, d, life, alive)[order]
+            o = _unpack_col(rows, slice(0, 3), dt)
+            d = _unpack_col(rows, slice(3, 6), dt)
+            life = _unpack_col(rows, 6, dt)
+            alive = rows[:, 7] > 0.5
 
-        hit, t, attrs = backend.closest_hit(o, d)
+        hit, t, attrs = backend.closest_hit(
+            o, d, alive=alive if block_skip else None)
         live_hit = alive & hit
         # Guard t for dead/miss lanes so position math stays finite.
         t_safe = jnp.where(live_hit, t, 0.0)
@@ -158,6 +245,24 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         life = jnp.where(can_continue, life_new, life)
 
         outputs = (t, echo_val, muffle_inc, live_hit, p)
+        if compact:
+            # Restore original ray order with ONE packed inverse-perm
+            # GATHER over outputs + next-bounce carry (never a scatter —
+            # TPU scatter serializes; see alive_partition).
+            out_rows = _pack_rows(t, echo_val, live_hit, p, muffle_inc,
+                                  o, d, life, alive_next)[pos]
+            T_ = muffle_inc.shape[-1]
+            outputs = (
+                _unpack_col(out_rows, 0, t.dtype),
+                _unpack_col(out_rows, 1, echo_val.dtype),
+                out_rows[:, 6:6 + T_] > 0.5,  # muffle_inc [R, T]
+                out_rows[:, 2] > 0.5,  # live_hit
+                _unpack_col(out_rows, slice(3, 6), p.dtype),
+            )
+            o = _unpack_col(out_rows, slice(6 + T_, 9 + T_), dt)
+            d = _unpack_col(out_rows, slice(9 + T_, 12 + T_), dt)
+            life = _unpack_col(out_rows, 12 + T_, dt)
+            alive_next = out_rows[:, 13 + T_] > 0.5
         return (o, d, life, alive_next), outputs
 
     o0 = jnp.broadcast_to(jnp.asarray(origin, directions.dtype), (R, 3))
@@ -171,8 +276,9 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0))
 
-    (_, _, _, _), (t_all, echo, muffle_inc, hit_mask, hit_points) = \
-        jax.lax.scan(bounce, (o0, d0, life0, alive0), jnp.arange(H), length=H)
+    _, (t_all, echo, muffle_inc, hit_mask, hit_points) = \
+        jax.lax.scan(bounce, (o0, d0, life0, alive0),
+                     jnp.arange(H), length=H)
 
     # scan stacks outputs on axis 0 = bounce slot; reorder to [R, H].
     echo = jnp.moveaxis(echo, 0, 1)  # [R, H]

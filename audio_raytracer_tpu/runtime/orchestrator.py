@@ -72,14 +72,20 @@ class AsyncRaytraceLoop:
         self._backend = backend
 
         def step(origin, directions, scene):
-            _, settings = forward(origin, directions, scene, cfg,
-                                  backend=backend)
-            return settings
+            result, settings = forward(origin, directions, scene, cfg,
+                                       backend=backend)
+            # The IR histogram rides along when enabled so the DSP tail
+            # stage (models/spatializer.spatialize(reverb_ir=...)) can
+            # consume it per frame.
+            return settings, result.reverb_ir
 
         self._step = jax.jit(step)
         self._in_flight = None
         self._sentinel = None
         self._latest = None
+        # Latest completed frame's [num_reverb_bins] impulse response
+        # (None until harvested / when cfg.num_reverb_bins == 0).
+        self.reverb_ir = None
 
         # Instrumentation (the raytracerMs / batchCycleMs stopwatches,
         # AudioRayTracer.cs:58-59,100-104,158).
@@ -99,7 +105,7 @@ class AsyncRaytraceLoop:
                 return self._latest
             if not self.compute_async:
                 self._sentinel.wait()
-            self._latest = self._in_flight
+            self._latest, self.reverb_ir = self._in_flight
             self._in_flight = None
             self.frames_harvested += 1
             if self._sentinel.elapsed_ms is not None:

@@ -273,6 +273,17 @@ class TraceConfig:
     # default = the reference's maxRayLife distance scale).
     num_reverb_bins: int = 0
     ir_max_distance: float = 125.0
+    # Sort rays alive-first between bounces (a stable partition) so dead
+    # lanes pool into ray blocks the kernel tier can skip outright — the
+    # TPU analog of the reference's per-ray early exit
+    # (AudioRaytracerJobBatched.cs:104). Results are identical (each
+    # ray's math is per-lane; outputs are scattered back to original ray
+    # order). Only engaged on backends with supports_block_skip. Default
+    # OFF: the reorder moves ~15 [R]-sized arrays per bounce (~100 ms at
+    # 1M rays), which only pays when rays die fast (short max_ray_life /
+    # absorptive scenes); with long-lived rays the free block-level
+    # aliveness skip (always on for kernel backends) is strictly better.
+    compact_rays: bool = False
 
     @property
     def max_hits_per_ray(self) -> int:

@@ -107,6 +107,34 @@ def _bench_fwd(args, cfg, scene, origin, dirs, backend):
     return dt
 
 
+def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
+    """Forward at the REFERENCE's own default ray budget: maxRayLife
+    125 m (Player.prefab / Audio/AudioRayTracer.cs:20) instead of this
+    harness's historical 300 m. Rays die fast enough that the aliveness
+    compaction + dead-block skipping (ops/trace.alive_partition,
+    TraceConfig.compact_rays) pays for its data movement — the workload
+    where the reference's per-ray early exit mattered most."""
+    import dataclasses
+
+    import jax
+
+    from audio_raytracer_tpu.models.raytracer import forward
+
+    cfg_ref = dataclasses.replace(cfg, max_ray_life=125.0,
+                                  compact_rays=True)
+
+    @jax.jit
+    def step(origin, dirs, scene):
+        _, settings = forward(origin, dirs, scene, cfg_ref, backend=backend)
+        return settings
+
+    dt = _time_step(step, origin, dirs, scene, args.iters)
+    _emit("rays_per_s_per_chip_fwd_reflife", args.rays / dt,
+          {"step_ms": round(dt * 1e3, 2), "max_ray_life": 125.0,
+           "compact_rays": True})
+    return dt
+
+
 def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
                    pose_grads=False):
     """fwd+bwd throughput. pose_grads=False = the materials-training
@@ -285,6 +313,7 @@ def main():
 
     if args.mode in ("both", "fwd"):
         _bench_fwd(args, cfg, scene, origin, dirs, backend)
+        _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend)
     if args.mode in ("both", "fwd_bwd"):
         _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
     if args.mode == "both" or args.pose_grads:

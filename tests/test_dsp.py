@@ -198,3 +198,151 @@ class TestSampledCurve:
         c = SampledCurve.from_fn(lambda t: t ** 2, k=200)
         np.testing.assert_allclose(float(c.evaluate(jnp.asarray(0.5))), 0.25,
                                    atol=1e-4)
+
+
+class TestReverbTail:
+    """IR-driven convolution reverb (the audible tail the reference
+    delegates to Unity's AudioReverbFilter; ReverbDSP.cs:10-24 +
+    AudioSpatializer.cs:58 only set gains)."""
+
+    SR = 8000.0
+
+    def _setup(self, n_bins=8, ir_max=40.0):
+        import dataclasses
+
+        from audio_raytracer_tpu.models.spatializer import (
+            DSPState,
+            SpatializerSettings,
+            ir_kernel_length,
+            ir_to_fir,
+        )
+
+        settings = dataclasses.replace(
+            SpatializerSettings.default(),
+            render_reverb_tail=True,
+            reverb_ir_max_distance=jnp.float32(ir_max),
+            # Neutralize the rest of the chain so the oracle is pure
+            # convolution: no muffle, no pan/rear/elevation shaping.
+            pan_strength=jnp.float32(0.0),
+            rear_attenuation_strength=jnp.float32(0.0),
+            low_pass_volume=jnp.float32(1.0),
+            high_pass_volume=jnp.float32(1.0),
+            reverb_dry_boost=__import__(
+                "audio_raytracer_tpu.models.spatializer",
+                fromlist=["x"]).MinMax.of(1.0, 1.0),
+        )
+        L = ir_kernel_length(n_bins, ir_max, self.SR)
+        return settings, L, ir_to_fir
+
+    def test_fir_unit_energy_and_tap_times(self):
+        from audio_raytracer_tpu.ops.reverb import SPEED_OF_SOUND
+
+        settings, L, ir_to_fir = self._setup()
+        ir = jnp.asarray([0.0, 4.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+        h = np.asarray(ir_to_fir(ir, 40.0, self.SR, L))
+        np.testing.assert_allclose((h ** 2).sum(), 1.0, rtol=1e-6)
+        width = 40.0 / SPEED_OF_SOUND / 8
+        exp_idx = [int(round((b + 0.5) * width * self.SR)) for b in (1, 3)]
+        nz = np.nonzero(h)[0]
+        np.testing.assert_array_equal(nz, exp_idx)
+        # sqrt-energy amplitudes: 4.0 energy -> 2x the 1.0 bin's tap.
+        np.testing.assert_allclose(h[exp_idx[0]] / h[exp_idx[1]], 2.0,
+                                   rtol=1e-6)
+
+    def test_tail_matches_numpy_convolution_oracle(self, rng):
+        """Stream 4 buffers through spatialize and compare the wet part
+        against one flat np.convolve over the concatenated signal."""
+        import dataclasses
+
+        from audio_raytracer_tpu.models.spatializer import (
+            DSPState,
+            ir_to_fir,
+            spatialize,
+        )
+
+        settings, L, _ = self._setup()
+        N = 256
+        n_buf = 4
+        sig = rng.standard_normal((n_buf * N, 2)).astype(np.float32) * 0.1
+        ir = jnp.asarray([0.0, 2.0, 0.5, 0.0, 1.0, 0.0, 0.0, 0.2])
+        rt = TargetSettings(
+            muffle=jnp.zeros((1,)),  # muffle==0 -> LP bypassed
+            reverb_strength=jnp.asarray(1.0),
+            reverb_volume=jnp.asarray(0.0),  # dry boost = min = 1.0
+            perceived_position=jnp.zeros((1, 3)),
+        )
+        local = jnp.asarray([0.0, 0.0, 1.0])  # dead ahead, y=0
+        state = DSPState.zero(tail_len=L - 1)
+        outs = []
+        for b in range(n_buf):
+            buf = jnp.asarray(sig[b * N:(b + 1) * N])
+            out, state, _ = spatialize(buf, state, settings, rt, 0, local,
+                                       jnp.asarray(5.0), self.SR,
+                                       reverb_ir=ir)
+            outs.append(np.asarray(out))
+        got = np.concatenate(outs, axis=0)
+
+        # Oracle: equal-power center pan leaves gain sqrt(0.5) on both
+        # channels (pan_strength 0 -> pan 0); the binaural LP at y=0
+        # runs with the below-horizon branch's max cutoff — neutralize
+        # by comparing against the same dry path: dry = chain(sig),
+        # wet = wet_gain * conv(dry, h).
+        h = np.asarray(ir_to_fir(ir, 40.0, self.SR, L))
+        wet_gain = float(settings.reverb_wet_level.lerp(
+            settings.reverb_strength_curve.evaluate(1.0)))
+        # Recompute the dry chain output by running with the tail off.
+        settings_dry = dataclasses.replace(settings,
+                                           render_reverb_tail=False)
+        state_d = DSPState.zero()
+        drys = []
+        for b in range(n_buf):
+            buf = jnp.asarray(sig[b * N:(b + 1) * N])
+            out_d, state_d, _ = spatialize(buf, state_d, settings_dry, rt,
+                                           0, local, jnp.asarray(5.0),
+                                           self.SR)
+            drys.append(np.asarray(out_d))
+        dry = np.concatenate(drys, axis=0)
+        want = dry.copy()
+        for ch in range(2):
+            w = np.convolve(dry[:, ch], wet_gain * h)[: dry.shape[0]]
+            want[:, ch] += w
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_tail_energy_bounded_and_decays(self, rng):
+        """An impulse through the tail stage must inject finite wet
+        energy (unit-energy FIR x wet gain) and ring out to ~zero."""
+        from audio_raytracer_tpu.models.spatializer import (
+            DSPState,
+            spatialize,
+        )
+
+        settings, L, _ = self._setup()
+        N = 256
+        ir = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.0, 0.0, 0.0, 0.0])
+        rt = TargetSettings(
+            muffle=jnp.zeros((1,)),
+            reverb_strength=jnp.asarray(1.0),
+            reverb_volume=jnp.asarray(0.0),
+            perceived_position=jnp.zeros((1, 3)),
+        )
+        local = jnp.asarray([0.0, 0.0, 1.0])
+        state = DSPState.zero(tail_len=L - 1)
+        impulse = np.zeros((N, 2), np.float32)
+        impulse[0] = 1.0
+        total = 0.0
+        last = None
+        n_bufs = (L - 1) // N + 3
+        for b in range(n_bufs):
+            buf = jnp.asarray(impulse if b == 0
+                              else np.zeros((N, 2), np.float32))
+            out, state, _ = spatialize(buf, state, settings, rt, 0, local,
+                                       jnp.asarray(5.0), self.SR,
+                                       reverb_ir=ir)
+            last = np.asarray(out)
+            total += float((last ** 2).sum())
+        assert np.isfinite(total) and total > 0.0
+        # Dry impulse energy through the neutral chain ~ 1; wet adds at
+        # most wet_gain^2 (unit-energy FIR).
+        assert total < 4.0
+        # Tail rang out: the final buffer is silent.
+        assert float(np.abs(last).max()) < 1e-5

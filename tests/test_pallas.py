@@ -250,3 +250,69 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(s_d.muffle),
                                    np.asarray(s_p.muffle), rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestRayCompaction:
+    """cfg.compact_rays: alive-first reorder + dead-block skip must be
+    invisible in the results (ops/trace.alive_partition; the reference's
+    per-ray early exit analog, AudioRaytracerJobBatched.cs:104)."""
+
+    def test_alive_partition_is_stable_inverse_pair(self):
+        alive = jnp.asarray(
+            [True, False, True, True, False, False, True, False])
+        order, pos = __import__(
+            "audio_raytracer_tpu.ops.trace", fromlist=["x"]
+        ).alive_partition(alive)
+        x = jnp.arange(8)
+        packed = x[order]
+        # Alive lanes first, both groups in original relative order.
+        np.testing.assert_array_equal(np.asarray(packed),
+                                      [0, 2, 3, 6, 1, 4, 5, 7])
+        # pos inverts order: y[pos] undoes y -> y[order].
+        np.testing.assert_array_equal(np.asarray(packed[pos]), np.asarray(x))
+
+    def test_compacted_forward_identical_to_uncompacted(self, scene):
+        """The reorder must be INVISIBLE: bit-identical results on the
+        same kernel tier with and without compact_rays (each ray's math
+        is per-lane; outputs are un-permuted before leaving the scan).
+        Short ray life so lanes actually die and the reorder engages."""
+        import dataclasses
+
+        cfg = TraceConfig(ray_count=256, max_bounces=3, max_ray_life=40.0,
+                          num_accum_batches=4, compact_rays=False)
+        cfg_c = dataclasses.replace(cfg, compact_rays=True)
+        origin = jnp.zeros(3)
+        dirs = fibonacci_directions(256)
+        r_p, s_p = forward(origin, dirs, scene, cfg, collect_debug=True,
+                           backend="pallas_interpret")
+        r_c, s_c = forward(origin, dirs, scene, cfg_c, collect_debug=True,
+                           backend="pallas_interpret")
+        # Ints exactly; floats to 1 ulp-ish (XLA fuses the surrounding
+        # elementwise ops differently in the two programs, so per-lane
+        # rounding can differ by 1 ulp even though the trace logic is
+        # identical).
+        np.testing.assert_array_equal(np.asarray(r_p.muffle_hits),
+                                      np.asarray(r_c.muffle_hits))
+        np.testing.assert_array_equal(np.asarray(r_p.hit_counts),
+                                      np.asarray(r_c.hit_counts))
+        for a, b in [(r_p.echo_distances, r_c.echo_distances),
+                     (r_p.first_hit_t, r_c.first_hit_t),
+                     (s_p.muffle, s_c.muffle)]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_compacted_forward_matches_dense_settings(self, scene):
+        """Aggregate parity vs the dense tier with compaction on (a few
+        razor's-edge life crossings may flip per-lane booleans between
+        the fast-reciprocal kernels and XLA's divide; the per-target
+        settings stay within a few lanes' worth)."""
+        cfg = TraceConfig(ray_count=256, max_bounces=3, max_ray_life=60.0,
+                          num_accum_batches=4, compact_rays=True)
+        origin = jnp.zeros(3)
+        dirs = fibonacci_directions(256)
+        _, s_d = forward(origin, dirs, scene, cfg, backend="jnp")
+        _, s_p = forward(origin, dirs, scene, cfg,
+                         backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(s_d.muffle),
+                                   np.asarray(s_p.muffle), rtol=1e-4,
+                                   atol=5e-3)

@@ -116,9 +116,13 @@ def test_compiled_forward_pallas_vs_dense(scene):
     np.testing.assert_allclose(np.asarray(res_p.reverb_ir),
                                np.asarray(res_j.reverb_ir),
                                rtol=0.02, atol=1.0)
+    # Settings tolerance matches the muffle_hits bound above: up to ~5
+    # edge-flipped (ray, bounce) visibility lanes out of R*H move muffle
+    # by 5 / (R * H) ~= 3e-4 (the Newton-refined fast reciprocal rounds
+    # differently than XLA's divide on razor's-edge slab lanes).
     np.testing.assert_allclose(np.asarray(set_p.muffle),
                                np.asarray(set_j.muffle),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=5e-4)
 
 
 def test_compiled_bf16_tier_lowers_and_runs(scene, rays):
