@@ -39,12 +39,14 @@ def _make_backend(scene: Scene, backend: str, cfg: TraceConfig | None = None):
     if backend == "jnp" or scene.num_primitives == 0:
         return None  # trace/permeation default to DenseBackend
     if backend in ("pallas", "pallas_interpret"):
-        from audio_raytracer_tpu.ops.pallas import PallasBackend
+        # Factory: plain PallasBackend when the scene fits the SMEM
+        # budget, ChunkedPallasBackend (HBM chunk streaming) beyond it.
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
 
         dtype = cfg.compute_jnp_dtype if cfg is not None else None
-        return PallasBackend(scene, interpret=(backend == "pallas_interpret"),
-                             **({} if dtype is None
-                                else {"compute_dtype": dtype}))
+        return make_pallas_backend(
+            scene, interpret=(backend == "pallas_interpret"),
+            **({} if dtype is None else {"compute_dtype": dtype}))
     raise ValueError(f"unknown backend {backend!r}")
 
 

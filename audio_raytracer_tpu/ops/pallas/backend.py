@@ -145,8 +145,10 @@ class PallasBackend:
         smem_bytes = sum(4 * v.shape[0] for v in fields.values())
         assert smem_bytes <= K.SMEM_BYTES, (
             f"primitive fields ({smem_bytes} B) exceed the SMEM budget "
-            f"({K.SMEM_BYTES} B); shard the primitive axis "
-            f"(parallel.mesh / PrimShardedBackend) to reduce per-call P")
+            f"({K.SMEM_BYTES} B); use ops.pallas.make_pallas_backend "
+            f"(single-chip HBM chunk streaming, ChunkedPallasBackend) or "
+            f"shard the primitive axis (parallel.mesh / "
+            f"PrimShardedBackend)")
 
         # Closest-hit / any-hit kernels are differentiated via recompute /
         # straight-through, never through the pallas_call itself — sever

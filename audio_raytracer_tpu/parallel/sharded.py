@@ -86,11 +86,11 @@ def make_local_engine(scene_local, backend: str, differentiable=False):
     if backend == "jnp":
         return DenseBackend(scene_local)
     if backend in ("pallas", "pallas_interpret"):
-        from audio_raytracer_tpu.ops.pallas import PallasBackend
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
 
-        return PallasBackend(scene_local,
-                             interpret=(backend == "pallas_interpret"),
-                             differentiable=differentiable)
+        return make_pallas_backend(scene_local,
+                                   interpret=(backend == "pallas_interpret"),
+                                   differentiable=differentiable)
     raise ValueError(f"unknown backend {backend!r}")
 
 

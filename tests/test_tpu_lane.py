@@ -267,3 +267,42 @@ def test_orchestrator_tick_on_device():
         assert ticks > loop.frames_harvested
     finally:
         reg.close()
+
+
+def test_chunked_backend_compiled_beyond_smem():
+    """ChunkedPallasBackend with COMPILED Mosaic kernels at ~36K mixed
+    primitives (>> the ~16K SMEM budget) on the real chip: the
+    single-chip answer to the reference's unbounded registry growth
+    (AudioColliderManager.cs:42-62). Parity vs the dense jnp tier on a
+    subsample of rays."""
+    from audio_raytracer_tpu.ops.backend import DenseBackend
+    from audio_raytracer_tpu.ops.pallas import (
+        ChunkedPallasBackend,
+        make_pallas_backend,
+    )
+
+    big = random_scene(jax.random.key(11), num_spheres=12_000,
+                       num_aabbs=12_000, num_obbs=12_000, num_targets=2,
+                       extent=120.0, size_range=(0.5, 3.0))
+    be = make_pallas_backend(big)
+    assert isinstance(be, ChunkedPallasBackend)
+    assert be.num_chunks >= 3
+
+    Rs = 8192
+    o = jnp.zeros((Rs, 3)) + jnp.asarray([0.3, -0.2, 0.4])
+    d = fibonacci_directions(Rs)
+    hit, t, attrs = jax.jit(lambda o, d: be.closest_hit(o, d))(o, d)
+    hit_d, t_d, _ = DenseBackend(big).closest_hit(o[:1024], d[:1024])
+    np.testing.assert_array_equal(np.asarray(hit)[:1024],
+                                  np.asarray(hit_d))
+    m = np.asarray(hit_d)
+    np.testing.assert_allclose(np.asarray(t)[:1024][m],
+                               np.asarray(t_d)[m], rtol=1e-5, atol=1e-3)
+
+    cfg = TraceConfig(ray_count=Rs, max_bounces=2, max_ray_life=200.0,
+                      max_muffle_hit_distance=150.0)
+    res, settings = jax.jit(
+        lambda o, d, s: forward(o, d, s, cfg, backend="pallas"))(
+            jnp.asarray([0.3, -0.2, 0.4]), d, big)
+    mu = np.asarray(settings.muffle)
+    assert np.isfinite(mu).all() and (mu >= 0).all() and (mu <= 1).all()
