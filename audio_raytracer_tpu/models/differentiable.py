@@ -94,9 +94,14 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
     if backend is None:
         backend = DenseBackend(scene)
 
+    # Kernel engines skip fully-dead ray blocks when given the alive
+    # mask (free; same as ops.trace).
+    block_skip = getattr(backend, "supports_block_skip", False)
+
     def bounce(carry, step):
         o, d, life, alive, energy = carry
-        hit, t, attrs = backend.closest_hit(o, d)
+        hit, t, attrs = backend.closest_hit(
+            o, d, alive=alive if block_skip else None)
         live_hit = alive & hit
         t_safe = jnp.where(live_hit, t, 0.0)
 

@@ -150,3 +150,36 @@ class TestFibonacci:
         # Mean direction of a uniform sphere sampling ~ 0.
         d = np.asarray(fibonacci_directions(2000))
         assert np.abs(d.mean(axis=0)).max() < 0.01
+
+
+class TestEightSources:
+    """BASELINE config 5 names 8 sources: the target axis must scale —
+    8 muffle ray sets fused into the per-bounce stream, 8-column
+    accumulators, 8 per-target settings."""
+
+    def test_eight_targets_forward_parity(self):
+        from audio_raytracer_tpu.models.raytracer import (
+            forward,
+            random_scene,
+        )
+        from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+        from audio_raytracer_tpu.types import TraceConfig
+
+        scene = random_scene(jax.random.key(21), num_spheres=8,
+                             num_aabbs=16, num_obbs=8, num_targets=8)
+        cfg = TraceConfig(ray_count=128, max_bounces=3, max_ray_life=150.0,
+                          num_accum_batches=2)
+        origin = jnp.zeros(3)
+        dirs = fibonacci_directions(128)
+        r_d, s_d = forward(origin, dirs, scene, cfg, backend="jnp")
+        r_p, s_p = forward(origin, dirs, scene, cfg,
+                           backend="pallas_interpret")
+        assert s_d.muffle.shape == (8,)
+        np.testing.assert_array_equal(np.asarray(r_d.muffle_hits),
+                                      np.asarray(r_p.muffle_hits))
+        np.testing.assert_allclose(np.asarray(s_d.muffle),
+                                   np.asarray(s_p.muffle), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r_d.permeation),
+                                   np.asarray(r_p.permeation),
+                                   rtol=1e-5, atol=1e-3)
