@@ -97,14 +97,18 @@ class DenseBackend:
             return jnp.zeros(o.shape[:-1], o.dtype)
         return intersect.permeation_loss(o, d, self.scene, skip_target_id)
 
-    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
+    def multi_occluded(self, o, dirs, limits, skips, init_occ,
+                       conv_points=None) -> Array:
         """Fused occlusion over S ray sets sharing one origin.
 
         o: [R,3]; dirs: list of S [R,3]; limits: [R,S]; skips: static
         tuple (NO_SKIP or a target id per set); init_occ: [R,S] bool
-        pre-resolved lanes. Returns [R,S] bool (init lanes come back
-        True). The jnp tier composes per-set tests; the Pallas tier runs
-        one primitive stream (ops.pallas.fused.multi_any_hit)."""
+        pre-resolved lanes. ``conv_points`` ([S, 3] per-set ray
+        endpoint) is a culling hint the kernel tier uses; the dense
+        [R, P] grid computes everything regardless and ignores it.
+        Returns [R,S] bool (init lanes come back True). The jnp tier
+        composes per-set tests; the Pallas tier runs one primitive
+        stream (ops.pallas.fused.multi_any_hit)."""
         cols = [
             self.occluded(o, dirs[s], limits[..., s],
                           skip_target_id=_skip_or_none(skips[s]))
@@ -223,8 +227,10 @@ class PrimShardedBackend:
         local = self.engine.permeation_loss(o, d, skip_target_id)
         return jax.lax.psum(local, self.axis)
 
-    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
-        local = self.engine.multi_occluded(o, dirs, limits, skips, init_occ)
+    def multi_occluded(self, o, dirs, limits, skips, init_occ,
+                       conv_points=None) -> Array:
+        local = self.engine.multi_occluded(o, dirs, limits, skips, init_occ,
+                                           conv_points=conv_points)
         return jax.lax.pmax(local.astype(jnp.int32), self.axis) > 0
 
     def multi_permeation_loss(self, o, dirs, skips) -> Array:

@@ -94,6 +94,15 @@ class PallasBackend:
         def col(x, dtype=f32):
             return jnp.asarray(x, dtype).reshape(-1)
 
+        # Bounding-sphere radii squared (with the conservative margin
+        # folded in) for the per-block convergence-hull culling of the
+        # fused occlusion kernels; -1 = inactive (always culled).
+        CULL_MARGIN = 1e-2
+
+        def br2(radii, active):
+            r = radii + CULL_MARGIN
+            return jnp.where(active, r * r, -1.0)
+
         fields = {}
         if ns:
             r2 = jnp.where(sp.active, sp.radius * sp.radius, -1e30)
@@ -102,6 +111,7 @@ class PallasBackend:
                 s_cy=col(sp.center[:, 1]),
                 s_cz=col(sp.center[:, 2]),
                 s_r2=col(r2),
+                s_br2=col(br2(sp.radius, sp.active)),
                 s_tgt=col(sp.target_id, dtype=jnp.int32),
                 s_dens=col(sp.material.density),
             )
@@ -114,6 +124,8 @@ class PallasBackend:
                 a_maxy=col(ab.center[:, 1] + ab.half_extents[:, 1]),
                 a_maxz=col(ab.center[:, 2] + ab.half_extents[:, 2]),
                 a_miss=col(jnp.where(ab.active, 0.0, jnp.inf)),
+                a_br2=col(br2(jnp.linalg.norm(ab.half_extents, axis=-1),
+                              ab.active)),
                 a_tgt=col(ab.target_id, dtype=jnp.int32),
                 a_dens=col(ab.material.density),
             )
@@ -137,6 +149,8 @@ class PallasBackend:
                 o_m20=col(M[:, 2, 0]), o_m21=col(M[:, 2, 1]),
                 o_m22=col(M[:, 2, 2]),
                 o_miss=col(jnp.where(ob.active, 0.0, jnp.inf)),
+                o_br2=col(br2(jnp.linalg.norm(ob.half_extents, axis=-1),
+                              ob.active)),
                 o_tgt=col(ob.target_id, dtype=jnp.int32),
                 o_dens=col(ob.material.density),
             )
@@ -287,10 +301,13 @@ class PallasBackend:
                                 jax.lax.stop_gradient(d.astype(jnp.float32)),
                                 skip, interpret=self.interpret)
 
-    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
+    def multi_occluded(self, o, dirs, limits, skips, init_occ,
+                       conv_points=None) -> Array:
         """Fused S-ray-set occlusion: one primitive stream per ray block
         (ops.pallas.fused.multi_any_hit). Occlusion booleans are
-        straight-through (inputs severed from AD)."""
+        straight-through (inputs severed from AD). ``conv_points``
+        ([S, 3] per-set ray endpoint) enables the per-block primitive
+        hull culling."""
         if self.total == 0:
             return init_occ
         sg = jax.lax.stop_gradient
@@ -298,7 +315,8 @@ class PallasBackend:
             self._sg_fields, self.counts, sg(o.astype(jnp.float32)),
             [sg(d.astype(jnp.float32)) for d in dirs],
             sg(limits.astype(jnp.float32)), tuple(skips), init_occ,
-            interpret=self.interpret, dtype=self.compute_dtype)
+            interpret=self.interpret, dtype=self.compute_dtype,
+            conv_points=conv_points)
 
     def multi_permeation_loss(self, o, dirs, skips) -> Array:
         """Fused S-target permeation (ops.pallas.fused.multi_chord); with

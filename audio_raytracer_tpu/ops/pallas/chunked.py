@@ -233,12 +233,14 @@ class ChunkedPallasBackend:
             loss = loss + sub.permeation_loss(o, d, skip_target_id)
         return loss
 
-    def multi_occluded(self, o, dirs, limits, skips, init_occ) -> Array:
+    def multi_occluded(self, o, dirs, limits, skips, init_occ,
+                       conv_points=None) -> Array:
         # Chain: chunk k's result feeds chunk k+1's init bits, so lanes
         # resolved early skip later chunks' streams.
         occ = init_occ
         for sub in self._subs:
-            occ = sub.multi_occluded(o, dirs, limits, skips, occ)
+            occ = sub.multi_occluded(o, dirs, limits, skips, occ,
+                                     conv_points=conv_points)
         return occ
 
     def multi_permeation_loss(self, o, dirs, skips) -> Array:

@@ -100,12 +100,23 @@ def _load_sets(refs, n_sets, with_limits):
 # ---------------------------------------------------------------------------
 
 
-def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
+def multi_any_hit_kernel(counts, skips, names, cdt, cull, *refs_list):
     """Per ray block: S occlusion flags (1.0 = ray set s occluded).
 
     ``skips`` is a static tuple of per-set audio-target ids to skip
     (CanRaySeeAudioTarget's AudioTargetId exclusion,
     AudioRaytracerJobBatched.cs:405-449); NO_SKIP for the echo set.
+
+    ``cull``: when True, an extra SMEM input carries each set's
+    CONVERGENCE POINT (all of a set's rays end at one point: the
+    listener origin for the echo set, the target position for muffle
+    sets — their ray segments therefore lie inside the convex hull of
+    {block origin box} u {point}). Per primitive, a scalar-core test
+    rejects primitives whose bounding sphere misses the axis-aligned
+    bound of every set's hull, and a lax.cond skips the whole
+    per-primitive vector body — brute-force work removal the reference
+    never had, sound because a culled primitive cannot intersect any
+    tested segment.
 
     Directions MUST be normalized (they are: safe_normalize in
     ops.trace) — the sphere test exploits |d| == 1 to resolve the
@@ -124,7 +135,10 @@ def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
     S = len(skips)
     keep = {f"l{s}" for s in range(S)} | {f"i{s}" for s in range(S)}
     refs = _cast_refs(dict(zip(names, refs_list[:len(names)])), cdt, keep)
-    outs = refs_list[len(names):len(names) + S]
+    pos = len(names)
+    conv = refs_list[pos] if cull else None
+    pos += 1 if cull else 0
+    outs = refs_list[pos:pos + S]
 
     inits = [refs[f"i{s}"][...] for s in range(S)]
     pre_blk = inits[0]
@@ -151,6 +165,39 @@ def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
     @pl.when(pre < 0.5)
     def _scan():
         one = 1.0  # weak literal: stays in the compute dtype
+
+        if cull:
+            # Per-block origin box (cross-lane reduces; dead/moot lanes
+            # only loosen it) -> per-set hull bounds = AABB(box u conv).
+            oxl, oxh = jnp.min(_f32(ox)), jnp.max(_f32(ox))
+            oyl, oyh = jnp.min(_f32(oy)), jnp.max(_f32(oy))
+            ozl, ozh = jnp.min(_f32(oz)), jnp.max(_f32(oz))
+            hulls = []
+            for s in range(S):
+                cvx, cvy, cvz = conv[3 * s], conv[3 * s + 1], conv[3 * s + 2]
+                hulls.append((jnp.minimum(oxl, cvx), jnp.maximum(oxh, cvx),
+                              jnp.minimum(oyl, cvy), jnp.maximum(oyh, cvy),
+                              jnp.minimum(ozl, cvz), jnp.maximum(ozh, cvz)))
+
+        def _keep(bcx, bcy, bcz, br2):
+            """Scalar: does sphere(bc, sqrt(br2)) touch ANY set's hull
+            AABB? br2 < 0 encodes inactive (always culled)."""
+            k = None
+            for s in range(S):
+                xl, xh, yl, yh, zl, zh = hulls[s]
+                dx = jnp.maximum(jnp.maximum(xl - bcx, bcx - xh), 0.0)
+                dy = jnp.maximum(jnp.maximum(yl - bcy, bcy - yh), 0.0)
+                dz = jnp.maximum(jnp.maximum(zl - bcz, bcz - zh), 0.0)
+                ks = dx * dx + dy * dy + dz * dz <= br2
+                k = ks if k is None else (k | ks)
+            return k
+
+        def _maybe(p, accs, keep_args, body):
+            """Wrap a per-prim body in the cull cond."""
+            if not cull:
+                return body(p, accs)
+            return jax.lax.cond(_keep(*keep_args), lambda: body(p, accs),
+                                lambda: accs)
 
         def s_body(p, accs):
             cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
@@ -217,13 +264,32 @@ def multi_any_hit_kernel(counts, skips, names, cdt, *refs_list):
                                       accs[s]))
             return tuple(new)
 
+        def s_culled(p, accs):
+            return _maybe(p, accs,
+                          (_f32(refs["s_cx"][p]), _f32(refs["s_cy"][p]),
+                           _f32(refs["s_cz"][p]), refs["s_br2"][p]),
+                          s_body)
+
+        def a_culled(p, accs):
+            bcx = (_f32(refs["a_minx"][p]) + _f32(refs["a_maxx"][p])) * 0.5
+            bcy = (_f32(refs["a_miny"][p]) + _f32(refs["a_maxy"][p])) * 0.5
+            bcz = (_f32(refs["a_minz"][p]) + _f32(refs["a_maxz"][p])) * 0.5
+            return _maybe(p, accs, (bcx, bcy, bcz, refs["a_br2"][p]),
+                          a_body)
+
+        def o_culled(p, accs):
+            return _maybe(p, accs,
+                          (_f32(refs["o_cx"][p]), _f32(refs["o_cy"][p]),
+                           _f32(refs["o_cz"][p]), refs["o_br2"][p]),
+                          o_body)
+
         accs = tuple(inits)
         if ns:
-            accs = jax.lax.fori_loop(0, ns, s_body, accs)
+            accs = jax.lax.fori_loop(0, ns, s_culled, accs)
         if na:
-            accs = jax.lax.fori_loop(0, na, a_body, accs)
+            accs = jax.lax.fori_loop(0, na, a_culled, accs)
         if no:
-            accs = jax.lax.fori_loop(0, no, o_body, accs)
+            accs = jax.lax.fori_loop(0, no, o_culled, accs)
         for out, acc in zip(outs, accs):
             out[...] = acc
 
@@ -257,7 +323,8 @@ def _slab_interval_pre(mnx, mny, mnz, mxx, mxy, mxz, ix, iy, iz):
 
 
 def run_multi_any_hit(prim_fields: dict, counts, o, dirs, limits, skips,
-                      init_occ, interpret=False, dtype=jnp.float32):
+                      init_occ, interpret=False, dtype=jnp.float32,
+                      conv_points=None):
     """Fused occlusion over S ray sets sharing one origin.
 
     o: [R, 3]; dirs: list of S [R, 3] (MUST be normalized — the sphere
@@ -265,13 +332,17 @@ def run_multi_any_hit(prim_fields: dict, counts, o, dirs, limits, skips,
     ints (NO_SKIP = no exclusion); init_occ: [R, S] bool lanes whose
     test is moot (pre-marked occluded, enables block skipping).
     ``dtype``: compute dtype (bf16 = 2x tier; boolean flips possible
-    within ~0.4% of geometric edges). Returns occ [R, S] bool
-    (init_occ lanes come back True).
+    within ~0.4% of geometric edges). ``conv_points``: optional [S, 3]
+    per-set ray convergence point (every set-s ray ENDS there: its
+    ``limits`` column is the origin->point distance) — enables the
+    per-block primitive hull culling (see multi_any_hit_kernel).
+    Returns occ [R, S] bool (init_occ lanes come back True).
     """
     R = o.shape[0]
     S = len(dirs)
     rows = _rows(dtype)
     rp = _round_block(R, rows)
+    cull = conv_points is not None
 
     geom = {k: v for k, v in prim_fields.items() if not k.endswith("_dens")}
     ray_names = ["ox", "oy", "oz"]
@@ -291,16 +362,21 @@ def run_multi_any_hit(prim_fields: dict, counts, o, dirs, limits, skips,
 
     all_names = ray_names + list(geom.keys())
     kernel = functools.partial(multi_any_hit_kernel, counts, tuple(skips),
-                               all_names, dtype)
+                               all_names, dtype, cull)
+    extra = []
+    if cull:
+        extra = [jax.lax.stop_gradient(
+            jnp.asarray(conv_points, jnp.float32).reshape(-1))]
     vma = _out_vma(rays, list(geom.values()))
     outs = pl.pallas_call(
         kernel,
         grid=_grid(rp, rows),
-        in_specs=[_ray_spec(rows)] * len(rays) + [_prim_spec()] * len(geom),
+        in_specs=([_ray_spec(rows)] * len(rays) + [_prim_spec()] * len(geom)
+                  + [_prim_spec()] * len(extra)),
         out_specs=[_ray_spec(rows)] * S,
         out_shape=[_ray_out(rp, jnp.float32, vma)] * S,
         interpret=interpret,
-    )(*rays, *geom.values())
+    )(*rays, *geom.values(), *extra)
     return jnp.stack([_unpack_rays(x, R) > 0.5 for x in outs], axis=-1)
 
 

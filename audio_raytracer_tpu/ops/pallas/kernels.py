@@ -50,6 +50,21 @@ round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
   scatter-based restore cost ~67 ms/bounce, TPU scatter serializes).
   At the reference's own maxRayLife=125 budget rays die fast and
   compaction is ~10% end-to-end (1122 -> 1012 ms).
+- Per-primitive culling via lax.cond is a NET LOSS: the fused occlusion
+  kernels support a sound convergence-hull cull (every ray set ends at
+  one point, so a scalar AABB(block-origin-box u point) test can skip a
+  primitive's whole vector body — run_multi_any_hit(conv_points=...)),
+  and offline analysis showed 47%/16% joint cull rates at bounces 0/1
+  of the headline scene. But a branch in the primitive loop stops
+  Mosaic from prefetching the next iteration's scalar loads past it,
+  un-hiding them from the VPU stream: +38% on the occlusion kernel
+  even when nothing culls, vs ~13% average work removed. Group-level
+  conds would need Morton-ordered primitive copies and still net out
+  ~zero at demo densities. The API stays (parity-tested) for sparse
+  /clustered scenes; the trace loop does not use it. Permeation chords
+  cannot cull at all: the reference integrates along the UNBOUNDED ray
+  (AudioPermeationJobBatched.cs:287 has no upper t limit), and the
+  infinite sweep reaches ~98% of primitives.
 
 Reduced precision (``compute_dtype="bfloat16"``): kernels run geometry
 arithmetic in bf16 (16, 512) blocks with f32 islands for every cmp /
@@ -130,7 +145,7 @@ def _cast_refs(refs: dict, cdt, keep=()) -> dict:
     f32 — only geometry entering the bf16 arithmetic is cast."""
     if cdt == jnp.float32:
         return refs
-    return {k: (r if k in keep or k.endswith(("_miss", "_dens"))
+    return {k: (r if k in keep or k.endswith(("_miss", "_dens", "_br2"))
                 else _CastRef(r, cdt))
             for k, r in refs.items()}
 

@@ -135,6 +135,14 @@ def _secondary_occlusion(backend, scene: Scene, cfg: TraceConfig,
         skips.append(t)  # skip the target's own colliders (cs:405-449)
         moot.append(~live_hit | (dist >= cfg.max_muffle_hit_distance))
     limits = jnp.stack(limits, axis=-1)  # [R, 1 + T]
+    # NOTE: the kernel tier supports a convergence-hull culling hint
+    # (multi_occluded(conv_points=[origin, *targets])) that provably
+    # skips primitives outside each set's segment hull — but it is NOT
+    # passed here: the per-primitive lax.cond it needs breaks Mosaic's
+    # decoupled scalar-prefetch pipelining (+38% on the occlusion
+    # stream, measured on v5e), which outweighs the ~13% average cull
+    # rate at demo-like scene densities. See ops/pallas/kernels.py
+    # "Performance notes".
     occ = backend.multi_occluded(offset_point, dirs, limits, tuple(skips),
                                  jnp.stack(moot, axis=-1))
     echo_visible = ~occ[..., 0]

@@ -423,3 +423,37 @@ class TestChunkedBackend:
         assert leaves and all(np.isfinite(np.asarray(x)).all()
                               for x in leaves)
         assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+class TestConvergenceHullCull:
+    """multi_occluded(conv_points=...): the sound-but-default-off
+    primitive culling (see ops/pallas/kernels.py performance notes).
+    Culling must be INVISIBLE in the results — a culled primitive can
+    never intersect a tested segment."""
+
+    def test_culled_occlusion_matches_unculled(self, scene):
+        from audio_raytracer_tpu.ops.backend import NO_SKIP
+        from audio_raytracer_tpu.ops.pallas import PallasBackend
+
+        R = 256
+        key = jax.random.key(9)
+        o = jax.random.uniform(key, (R, 3), minval=-20.0, maxval=20.0)
+        targets = np.asarray(scene.target_positions)
+        origin = jnp.zeros(3)
+        conv = jnp.concatenate(
+            [origin[None, :], jnp.asarray(targets)], axis=0)
+        S = conv.shape[0]
+        dirs, limits = [], []
+        for s in range(S):
+            to = conv[s] - o
+            dist = jnp.linalg.norm(to, axis=-1)
+            dirs.append(to / dist[:, None])
+            limits.append(dist)
+        limits = jnp.stack(limits, axis=-1)
+        init = jnp.zeros((R, S), bool)
+        skips = (NO_SKIP,) + tuple(range(S - 1))
+        be = PallasBackend(scene, interpret=True)
+        occ0 = be.multi_occluded(o, dirs, limits, skips, init)
+        occ1 = be.multi_occluded(o, dirs, limits, skips, init,
+                                 conv_points=conv)
+        np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
