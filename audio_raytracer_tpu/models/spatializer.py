@@ -134,8 +134,10 @@ class DSPState:
     @staticmethod
     def zero(tail_len: int | None = None) -> "DSPState":
         z = jnp.zeros((2,), jnp.float32)
+        # tail_len == 0 is a valid 1-tap FIR (L = 1): keep the [0, 2]
+        # carry so the tail stage still runs; only None disables it.
         tail = (jnp.zeros((tail_len, 2), jnp.float32)
-                if tail_len else None)
+                if tail_len is not None else None)
         return DSPState(z, z, z, z, tail)
 
 
@@ -315,6 +317,11 @@ def spatialize(buffer: Array, state: DSPState,
         lp_prev=jnp.where(below, lp_prev, state.lp_prev),
         hp_prev_out=jnp.where(below, state.hp_prev_out, hp_prev_out),
         hp_prev_in=jnp.where(below, state.hp_prev_in, hp_prev_in),
+        # Carry the tail even when the tail stage doesn't run this call
+        # (e.g. no IR harvested yet): dropping it would truncate ringing
+        # audio AND permanently disable the stage (None thereafter),
+        # besides changing the state pytree structure under jit.
+        reverb_tail=state.reverb_tail,
     )
 
     # --- Final volume (AudioSpatializer.cs:79-86) ---

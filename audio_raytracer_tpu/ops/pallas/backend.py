@@ -157,6 +157,13 @@ class PallasBackend:
         self._fields = fields
 
         smem_bytes = sum(4 * v.shape[0] for v in fields.values())
+        # Self-check the published per-type field counts against the
+        # actual dict so smem_bytes() can never silently drift from the
+        # layout above (ChunkedPallasBackend sizes its chunks with it).
+        assert smem_bytes == self.smem_bytes(ns, na, no), (
+            f"PallasBackend.smem_bytes field counts are stale: actual "
+            f"{smem_bytes} B vs predicted {self.smem_bytes(ns, na, no)} B "
+            f"for counts {self.counts}")
         assert smem_bytes <= K.SMEM_BYTES, (
             f"primitive fields ({smem_bytes} B) exceed the SMEM budget "
             f"({K.SMEM_BYTES} B); use ops.pallas.make_pallas_backend "
@@ -207,6 +214,20 @@ class PallasBackend:
     # resolve from their init bits (multi_occluded) — ops.trace compacts
     # by aliveness between bounces so this actually fires.
     supports_block_skip = True
+
+    # Scalar fields per primitive of each type in the __init__ dict
+    # (sphere: cx,cy,cz,r2,br2,tgt,dens; AABB: 6 bounds,miss,br2,tgt,
+    # dens; OBB: center 3, half 3, matrix 9, miss,br2,tgt,dens) —
+    # self-checked against the actual dict at construction.
+    SPHERE_FIELDS = 7
+    AABB_FIELDS = 10
+    OBB_FIELDS = 19
+
+    @classmethod
+    def smem_bytes(cls, ns: int, na: int, no: int) -> int:
+        """SMEM bytes the field dict needs for these type counts."""
+        return 4 * (cls.SPHERE_FIELDS * ns + cls.AABB_FIELDS * na
+                    + cls.OBB_FIELDS * no)
 
     def local_closest(self, o: Array, d: Array, alive: Array | None = None):
         """(t [R] (+inf miss), idx [R] clamped local winner index)."""

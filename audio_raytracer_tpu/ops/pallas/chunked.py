@@ -42,8 +42,6 @@ from audio_raytracer_tpu.ops import intersect
 from audio_raytracer_tpu.types import Scene
 
 Array = jnp.ndarray
-_ATTR_KEYS = ("kind", "center", "half_extents", "inv_rot", "absorption",
-              "echo")
 _INT_MAX = jnp.int32(2**31 - 1)
 
 
@@ -52,10 +50,15 @@ def _slice_prims(prims, lo: int, n: int):
 
 
 def estimate_smem_bytes(ns: int, na: int, no: int) -> int:
-    """SMEM bytes the kernel field dict needs for these type counts
-    (field layout of PallasBackend.__init__: 6 sphere, 9 AABB, 21 OBB
-    f32/int32 scalars per primitive)."""
-    return 4 * (6 * ns + 9 * na + 21 * no)
+    """SMEM bytes the kernel field dict needs for these type counts.
+
+    Delegates to the authoritative per-type field counts next to the
+    field dict itself (PallasBackend.smem_bytes, self-checked against
+    the actual dict at construction time), so this can never drift from
+    the real layout again."""
+    from audio_raytracer_tpu.ops.pallas.backend import PallasBackend
+
+    return PallasBackend.smem_bytes(ns, na, no)
 
 
 def num_chunks_required(scene: Scene) -> int:

@@ -116,7 +116,9 @@ def multi_any_hit_kernel(counts, skips, names, cdt, cull, *refs_list):
     bound of every set's hull, and a lax.cond skips the whole
     per-primitive vector body — brute-force work removal the reference
     never had, sound because a culled primitive cannot intersect any
-    tested segment.
+    tested segment (the cull geometry reads raw f32 even in the bf16
+    tier — see _raw below — so bf16 coordinate rounding cannot defeat
+    the conservative margin).
 
     Directions MUST be normalized (they are: safe_normalize in
     ops.trace) — the sphere test exploits |d| == 1 to resolve the
@@ -264,23 +266,31 @@ def multi_any_hit_kernel(counts, skips, names, cdt, cull, *refs_list):
                                       accs[s]))
             return tuple(new)
 
+        def _raw(k):
+            # Cull geometry must be read at FULL f32 precision even in
+            # the bf16 tier: the conservative CULL_MARGIN (1e-2) is far
+            # below bf16 coordinate rounding at demo scales (~0.25+),
+            # which would make the "sound" cull drop real occluders.
+            r = refs[k]
+            return getattr(r, "_ref", r)
+
         def s_culled(p, accs):
             return _maybe(p, accs,
-                          (_f32(refs["s_cx"][p]), _f32(refs["s_cy"][p]),
-                           _f32(refs["s_cz"][p]), refs["s_br2"][p]),
+                          (_raw("s_cx")[p], _raw("s_cy")[p],
+                           _raw("s_cz")[p], refs["s_br2"][p]),
                           s_body)
 
         def a_culled(p, accs):
-            bcx = (_f32(refs["a_minx"][p]) + _f32(refs["a_maxx"][p])) * 0.5
-            bcy = (_f32(refs["a_miny"][p]) + _f32(refs["a_maxy"][p])) * 0.5
-            bcz = (_f32(refs["a_minz"][p]) + _f32(refs["a_maxz"][p])) * 0.5
+            bcx = (_raw("a_minx")[p] + _raw("a_maxx")[p]) * 0.5
+            bcy = (_raw("a_miny")[p] + _raw("a_maxy")[p]) * 0.5
+            bcz = (_raw("a_minz")[p] + _raw("a_maxz")[p]) * 0.5
             return _maybe(p, accs, (bcx, bcy, bcz, refs["a_br2"][p]),
                           a_body)
 
         def o_culled(p, accs):
             return _maybe(p, accs,
-                          (_f32(refs["o_cx"][p]), _f32(refs["o_cy"][p]),
-                           _f32(refs["o_cz"][p]), refs["o_br2"][p]),
+                          (_raw("o_cx")[p], _raw("o_cy")[p],
+                           _raw("o_cz")[p], refs["o_br2"][p]),
                           o_body)
 
         accs = tuple(inits)

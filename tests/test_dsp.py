@@ -346,3 +346,54 @@ class TestReverbTail:
         assert total < 4.0
         # Tail rang out: the final buffer is silent.
         assert float(np.abs(last).max()) < 1e-5
+
+
+class TestTailStatePreservation:
+    """The tail carry must survive calls where the tail stage doesn't
+    run (e.g. no IR harvested yet at stream start) — dropping it would
+    truncate ringing audio, permanently disable the stage (None state
+    thereafter), and retrace under jit."""
+
+    def test_tail_survives_ir_less_call(self):
+        import dataclasses
+
+        from audio_raytracer_tpu.models.spatializer import (
+            DSPState,
+            SpatializerSettings,
+            ir_kernel_length,
+            spatialize,
+        )
+
+        sr = 8000.0
+        settings = dataclasses.replace(
+            SpatializerSettings.default(), render_reverb_tail=True,
+            reverb_ir_max_distance=jnp.float32(40.0))
+        L = ir_kernel_length(8, 40.0, sr)
+        state = DSPState.zero(tail_len=L - 1)
+        rt = TargetSettings(muffle=jnp.zeros((1,)),
+                            reverb_strength=jnp.asarray(1.0),
+                            reverb_volume=jnp.asarray(0.0),
+                            perceived_position=jnp.zeros((1, 3)))
+        local = jnp.asarray([0.0, 0.0, 1.0])
+        impulse = jnp.zeros((64, 2)).at[0, :].set(1.0)
+        ir = jnp.asarray([1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+        # Call 1 WITH an IR: charges the tail carry.
+        _, state, _ = spatialize(impulse, state, settings, rt, 0, local,
+                                 jnp.asarray(5.0), sr, reverb_ir=ir)
+        assert state.reverb_tail is not None
+        charged = float(jnp.abs(state.reverb_tail).sum())
+        assert charged > 0.0
+        # Call 2 WITHOUT an IR (orchestrator warm-up case): the carry
+        # must survive untouched, not be dropped to None.
+        _, state, _ = spatialize(jnp.zeros((64, 2)), state, settings, rt,
+                                 0, local, jnp.asarray(5.0), sr,
+                                 reverb_ir=None)
+        assert state.reverb_tail is not None
+        np.testing.assert_allclose(float(jnp.abs(state.reverb_tail).sum()),
+                                   charged)
+        # Call 3 with the IR again: the stage still works.
+        out, state, _ = spatialize(jnp.zeros((64, 2)), state, settings, rt,
+                                   0, local, jnp.asarray(5.0), sr,
+                                   reverb_ir=ir)
+        assert float(jnp.abs(np.asarray(out)).max()) > 0.0  # tail rings

@@ -457,3 +457,26 @@ class TestConvergenceHullCull:
         occ1 = be.multi_occluded(o, dirs, limits, skips, init,
                                  conv_points=conv)
         np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+
+
+def test_smem_estimate_matches_actual_fields():
+    """PallasBackend.smem_bytes must track the real field dict (the
+    chunk sizing depends on it); a sphere-heavy scene near the budget
+    must route to the chunked backend, not crash the SMEM assert."""
+    from audio_raytracer_tpu.ops.pallas import (
+        ChunkedPallasBackend,
+        make_pallas_backend,
+    )
+    from audio_raytracer_tpu.ops.pallas.backend import PallasBackend
+    from audio_raytracer_tpu.ops.pallas.kernels import SMEM_BYTES
+
+    # 19K spheres: 7 fields * 4 B * 19000 = 532 kB > 512 kB budget even
+    # though the old (stale) 6-field estimate said it fits.
+    big = random_scene(jax.random.key(5), num_spheres=19_000,
+                       num_aabbs=0, num_obbs=0, num_targets=1)
+    assert PallasBackend.smem_bytes(19_000, 0, 0) > SMEM_BYTES
+    be = make_pallas_backend(big, interpret=True)
+    assert isinstance(be, ChunkedPallasBackend)
+    # And the constructor self-check accepts a small mixed scene.
+    small = random_scene(jax.random.key(6), 5, 7, 3, num_targets=1)
+    PallasBackend(small, interpret=True)
