@@ -59,3 +59,44 @@ class ThroughputMeter:
         rays = sum(r for r, _ in self._samples)
         secs = sum(s for _, s in self._samples)
         return rays / secs if secs else 0.0
+
+
+def summarize_trace(log_dir: str, top: int = 20) -> list[tuple[str, float]]:
+    """Aggregate TensorCore op durations from a jax.profiler trace.
+
+    Parses the perfetto JSON (``vm.trace.json.gz``) written under
+    ``log_dir`` by ``device_trace`` and returns [(op_name, total_ms)]
+    sorted descending — Pallas kernels appear as ``closed_call.*``,
+    XLA fusions as ``fusion.*``. The practical way to attribute step
+    time on relayed platforms where host-side timing is dominated by
+    the ~130 ms transfer round trip.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(
+        f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        events = json.load(f)["traceEvents"]
+    # TensorCore events carry pid of the device track; find the pid
+    # owning the longest total duration of complete ('X') events that
+    # look like XLA ops (host tracks dominate raw counts, not XLA names).
+    per_pid = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            name = e.get("name", "")
+            if ("fusion" in name or "closed_call" in name
+                    or name.startswith("jit")):
+                per_pid[e.get("pid")] += e["dur"]
+    if not per_pid:
+        return []
+    pid = per_pid.most_common(1)[0][0]
+    tot = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e and e.get("pid") == pid:
+            tot[e.get("name", "")] += e["dur"]
+    return [(name, dur / 1000.0) for name, dur in tot.most_common(top)]

@@ -480,3 +480,21 @@ def test_smem_estimate_matches_actual_fields():
     # And the constructor self-check accepts a small mixed scene.
     small = random_scene(jax.random.key(6), 5, 7, 3, num_targets=1)
     PallasBackend(small, interpret=True)
+
+
+def test_chunked_bf16_tier_composes(scene):
+    """compute_dtype threads through the chunked backend's sub-engines
+    (bf16 forward runs; accuracy per the documented bf16 contract)."""
+    from audio_raytracer_tpu.ops.pallas import ChunkedPallasBackend
+
+    big = random_scene(jax.random.key(12), num_spheres=6_000,
+                       num_aabbs=9_000, num_obbs=6_000, num_targets=2,
+                       extent=120.0, size_range=(1.0, 4.0))
+    be = ChunkedPallasBackend(big, interpret=True,
+                              compute_dtype=jnp.bfloat16)
+    assert be.num_chunks >= 2
+    R = 64
+    o = jnp.zeros((R, 3)) + 0.1
+    d = fibonacci_directions(R)
+    hit, t, attrs = be.closest_hit(o, d)
+    assert np.isfinite(np.asarray(t)[np.asarray(hit)]).all()
