@@ -230,6 +230,31 @@ def test_sharded_train_step_compiled_pallas(scene):
     assert moved
 
 
+def test_compacted_forward_compiled_matches_uncompacted(scene):
+    """compact_rays with COMPILED Mosaic kernels: the alive-first
+    reorder + dead-block skip must be invisible vs the same compiled
+    kernels without it (short ray life so lanes actually die)."""
+    origin = jnp.array([0.2, -0.3, 0.1])
+    dirs = fibonacci_directions(8192)
+    cfg = TraceConfig(ray_count=8192, max_bounces=3, max_ray_life=40.0,
+                      max_muffle_hit_distance=100.0)
+    cfg_c = dataclasses.replace(cfg, compact_rays=True)
+    res, st = jax.jit(lambda o, d, s: forward(o, d, s, cfg,
+                                              backend="pallas"))(
+        origin, dirs, scene)
+    res_c, st_c = jax.jit(lambda o, d, s: forward(o, d, s, cfg_c,
+                                                  backend="pallas"))(
+        origin, dirs, scene)
+    np.testing.assert_array_equal(np.asarray(res.muffle_hits),
+                                  np.asarray(res_c.muffle_hits))
+    np.testing.assert_allclose(np.asarray(res.echo_distances),
+                               np.asarray(res_c.echo_distances),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.muffle),
+                               np.asarray(st_c.muffle),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_orchestrator_tick_on_device():
     """AsyncRaytraceLoop on the real device: the host-transfer sentinel
     must produce an honest raytracer_ms and eventually harvest
@@ -245,7 +270,8 @@ def test_orchestrator_tick_on_device():
         reg.add_target((0.0, 0.0, 3.0))
         cfg = TraceConfig(ray_count=4096, max_bounces=2,
                           max_ray_life=60.0,
-                          max_muffle_hit_distance=50.0)
+                          max_muffle_hit_distance=50.0,
+                          num_reverb_bins=8, ir_max_distance=60.0)
         loop = AsyncRaytraceLoop(reg, cfg, backend="pallas",
                                  compute_async=True)
         origin = np.zeros(3)
@@ -263,6 +289,11 @@ def test_orchestrator_tick_on_device():
         assert loop.raytracer_ms > 0.0  # honest sentinel-measured latency
         m = np.asarray(settings.muffle)
         assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+        # The impulse response rode along with the harvest (feeds the
+        # DSP tail stage).
+        assert loop.reverb_ir is not None
+        ir = np.asarray(loop.reverb_ir)
+        assert ir.shape == (8,) and np.isfinite(ir).all()
         # Async frame-skip engaged: more ticks than harvests.
         assert ticks > loop.frames_harvested
     finally:
