@@ -23,6 +23,40 @@ Array = jnp.ndarray
 _ATTR_KEYS = ("kind", "center", "half_extents", "inv_rot", "absorption", "echo")
 
 
+def build_attr_tabs(uni: dict, total: int):
+    '''(geom_tab [P, 12] stop-gradded, mat_tab [P, 2] differentiable)
+    winner-gather tables from unified arrays.
+
+    Geometry columns are never differentiated (pose gradients flow
+    through the o/d winner recompute; the BASELINE gradient surface is
+    materials + source/listener poses), so gathering them from a
+    stop-gradded table prunes their transpose -- a [R, 12] scatter-add
+    per bounce (~32 ms/bounce at 1M rays x 4K prims) -- from every
+    backward pass. Materials ride a separate differentiable [P, 2]
+    gather. Shared by PallasBackend and ChunkedPallasBackend.
+    '''
+    geom = jax.lax.stop_gradient(jnp.concatenate(
+        [uni["kind"].astype(jnp.float32)[:, None], uni["center"],
+         uni["half_extents"], uni["inv_rot"],
+         jnp.zeros((total, 1), jnp.float32)], axis=1))
+    mat = jnp.stack([uni["absorption"], uni["echo"]], axis=1)
+    return geom, mat
+
+
+def attrs_from_tabs(geom_tab: Array, mat_tab: Array, idx: Array) -> dict:
+    '''Per-ray winner attribute dict from one [.., 12] + [.., 2] gather.'''
+    geom = geom_tab[idx]
+    mat = mat_tab[idx]
+    return dict(
+        kind=geom[..., 0].astype(jnp.int32),
+        center=geom[..., 1:4],
+        half_extents=geom[..., 4:7],
+        inv_rot=geom[..., 7:11],
+        absorption=mat[..., 0],
+        echo=mat[..., 1],
+    )
+
+
 class PallasBackend:
     """All primitives visible locally, intersections on the Pallas tier.
 
@@ -186,21 +220,8 @@ class PallasBackend:
         self._packed = (intersect.packed_unified_table(self._uni)
                         if self.total else None)
         if self.total:
-            # Split winner gathers for closest_hit: geometry columns are
-            # never differentiated (pose gradients flow through the o/d
-            # recompute; the BASELINE gradient surface is materials +
-            # source/listener poses), so gathering them from a
-            # stop-gradded table prunes their transpose — a [R, 12]
-            # scatter-add per bounce (~32 ms/bounce at 1M rays x 4K
-            # prims) — from every backward pass. Materials ride a
-            # separate differentiable [P, 2] gather.
-            u = self._uni
-            self._geom_tab = sg(jnp.concatenate(
-                [u["kind"].astype(jnp.float32)[:, None], u["center"],
-                 u["half_extents"], u["inv_rot"],
-                 jnp.zeros((self.total, 1), jnp.float32)], axis=1))
-            self._mat_tab = jnp.stack(
-                [u["absorption"], u["echo"]], axis=1)
+            self._geom_tab, self._mat_tab = build_attr_tabs(self._uni,
+                                                            self.total)
 
     # -- Local-engine protocol (for PrimShardedBackend delegation) ----------
 
@@ -263,16 +284,7 @@ class PallasBackend:
                                     dtype=self.compute_dtype,
                                     alive=alive)
         idx = jnp.minimum(rank, self.total - 1)
-        geom = self._geom_tab[idx]
-        mat = self._mat_tab[idx]
-        attrs = dict(
-            kind=geom[..., 0].astype(jnp.int32),
-            center=geom[..., 1:4],
-            half_extents=geom[..., 4:7],
-            inv_rot=geom[..., 7:11],
-            absorption=mat[..., 0],
-            echo=mat[..., 1],
-        )
+        attrs = attrs_from_tabs(self._geom_tab, self._mat_tab, idx)
         hit = jnp.isfinite(t)
         if self.differentiable:
             # Winner-recompute: differentiable t from the gathered winner.

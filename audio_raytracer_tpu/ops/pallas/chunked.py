@@ -124,18 +124,14 @@ class ChunkedPallasBackend:
                 compute_dtype=compute_dtype, pose_grads=pose_grads))
 
         # Global winner-attribute tables over the PADDED scene, indexed
-        # by the merged global scan rank (identical layout/gradient
-        # surface to PallasBackend: geometry stop-gradded, materials
-        # differentiable; see that class's docstring).
-        sg = jax.lax.stop_gradient
+        # by the merged global scan rank (same layout/gradient surface
+        # as PallasBackend; see ops.pallas.backend.build_attr_tabs).
+        from audio_raytracer_tpu.ops.pallas.backend import build_attr_tabs
+
         self.total = ns_p + na_p + no_p
         self._uni = intersect.unified_arrays(padded)
-        u = self._uni
-        self._geom_tab = sg(jnp.concatenate(
-            [u["kind"].astype(jnp.float32)[:, None], u["center"],
-             u["half_extents"], u["inv_rot"],
-             jnp.zeros((self.total, 1), jnp.float32)], axis=1))
-        self._mat_tab = jnp.stack([u["absorption"], u["echo"]], axis=1)
+        self._geom_tab, self._mat_tab = build_attr_tabs(self._uni,
+                                                        self.total)
         # Packed rows over the ORIGINAL (unpadded) scene for the
         # local-engine protocol's attr_rows.
         self._packed_orig = intersect.packed_unified_table(
@@ -202,18 +198,11 @@ class ChunkedPallasBackend:
     # -- backend protocol ----------------------------------------------------
 
     def closest_hit(self, o: Array, d: Array, alive: Array | None = None):
+        from audio_raytracer_tpu.ops.pallas.backend import attrs_from_tabs
+
         o32, d32 = o.astype(jnp.float32), d.astype(jnp.float32)
         t, g = self._merged_closest(o32, d32, alive=alive)
-        geom = self._geom_tab[g]
-        mat = self._mat_tab[g]
-        attrs = dict(
-            kind=geom[..., 0].astype(jnp.int32),
-            center=geom[..., 1:4],
-            half_extents=geom[..., 4:7],
-            inv_rot=geom[..., 7:11],
-            absorption=mat[..., 0],
-            echo=mat[..., 1],
-        )
+        attrs = attrs_from_tabs(self._geom_tab, self._mat_tab, g)
         hit = jnp.isfinite(t)
         if self.differentiable:
             t_rec = intersect.primitive_t_per_ray(
