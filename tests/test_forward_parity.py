@@ -183,3 +183,30 @@ class TestEightSources:
         np.testing.assert_allclose(np.asarray(r_d.permeation),
                                    np.asarray(r_p.permeation),
                                    rtol=1e-5, atol=1e-3)
+
+
+def test_max_bounce_depth_26_hits():
+    """The reference's inspector-capped workload: 26 hits/ray
+    (Audio/AudioRayTracer.cs:11-15). The fixed-depth masked scan and the
+    kernel tier must stay stable and in parity at that depth."""
+    from audio_raytracer_tpu.models.raytracer import forward, random_scene
+    from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+    from audio_raytracer_tpu.types import TraceConfig
+
+    scene = random_scene(jax.random.key(3), num_spheres=4, num_aabbs=10,
+                         num_obbs=4, num_targets=2)
+    cfg = TraceConfig(ray_count=64, max_bounces=25, max_ray_life=500.0,
+                      num_accum_batches=2)
+    assert cfg.max_hits_per_ray == 26
+    origin = jnp.zeros(3)
+    dirs = fibonacci_directions(64)
+    r_d, s_d = forward(origin, dirs, scene, cfg, backend="jnp")
+    r_p, s_p = forward(origin, dirs, scene, cfg,
+                       backend="pallas_interpret")
+    assert r_d.echo_distances.shape == (64, 26)
+    assert np.isfinite(np.asarray(s_d.muffle)).all()
+    np.testing.assert_array_equal(np.asarray(r_d.muffle_hits),
+                                  np.asarray(r_p.muffle_hits))
+    np.testing.assert_allclose(np.asarray(s_d.muffle),
+                               np.asarray(s_p.muffle), rtol=1e-4,
+                               atol=1e-4)
