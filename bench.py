@@ -311,16 +311,20 @@ def main():
         _bench_mesh(args, cfg, scene, origin, dirs, backend)
         return
 
-    if args.mode in ("both", "fwd"):
-        _bench_fwd(args, cfg, scene, origin, dirs, backend)
-        _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend)
-    if args.mode in ("both", "fwd_bwd"):
-        _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
+    # Emission order: auxiliary records first, the per-chip headline
+    # records LAST (the driver parses the final JSON line as the round's
+    # representative metric — it must be the chip fwd number, not the
+    # CPU-mesh scaling aside).
+    if args.mode == "both" and not args.no_scaling:
+        _spawn_cpu_scaling(args)
     if args.mode == "both" or args.pose_grads:
         _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
                        pose_grads=True)
-    if args.mode == "both" and not args.no_scaling:
-        _spawn_cpu_scaling(args)
+    if args.mode in ("both", "fwd_bwd"):
+        _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
+    if args.mode in ("both", "fwd"):
+        _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend)
+        _bench_fwd(args, cfg, scene, origin, dirs, backend)
 
     print(f"# {args.rays} rays x {args.prims} prims x {args.bounces + 1} "
           f"hits x {args.targets} targets | backend {backend} | "
