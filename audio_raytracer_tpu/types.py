@@ -278,7 +278,11 @@ class TraceConfig:
     # TPU analog of the reference's per-ray early exit
     # (AudioRaytracerJobBatched.cs:104). Results are identical (each
     # ray's math is per-lane; outputs are scattered back to original ray
-    # order). Only engaged on backends with supports_block_skip. Default
+    # order). Engaged by ops.trace (the inference path) on backends with
+    # supports_block_skip; the differentiable loudness path
+    # (models.differentiable.loudness_map) uses only the free dead-block
+    # skip — no reorder — since training workloads rarely run the short
+    # ray budgets where the reorder pays. Default
     # OFF: the reorder moves ~15 [R]-sized arrays per bounce (~100 ms at
     # 1M rays), which only pays when rays die fast (short max_ray_life /
     # absorptive scenes); with long-lived rays the free block-level
