@@ -281,8 +281,11 @@ class TraceConfig:
     # order). Engaged by ops.trace (the inference path) on backends with
     # supports_block_skip; the differentiable loudness path
     # (models.differentiable.loudness_map) uses only the free dead-block
-    # skip — no reorder — since training workloads rarely run the short
-    # ray budgets where the reorder pays. Default
+    # skip — no reorder — deliberately: the backward of a permutation
+    # GATHER is a permutation SCATTER, and TPU scatter serializes
+    # (~67 ms/bounce at 1M rays), so compaction under jax.grad would
+    # cost far more in the backward than it saves in the forward.
+    # Default
     # OFF: the reorder moves ~15 [R]-sized arrays per bounce (~100 ms at
     # 1M rays), which only pays when rays die fast (short max_ray_life /
     # absorptive scenes); with long-lived rays the free block-level
