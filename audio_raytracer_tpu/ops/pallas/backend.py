@@ -20,7 +20,6 @@ from audio_raytracer_tpu.ops.pallas import kernels as K
 from audio_raytracer_tpu.types import Scene
 
 Array = jnp.ndarray
-_ATTR_KEYS = ("kind", "center", "half_extents", "inv_rot", "absorption", "echo")
 
 
 def build_attr_tabs(uni: dict, total: int):

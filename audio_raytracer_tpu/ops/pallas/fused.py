@@ -116,9 +116,9 @@ def multi_any_hit_kernel(counts, skips, names, cdt, cull, *refs_list):
     bound of every set's hull, and a lax.cond skips the whole
     per-primitive vector body — brute-force work removal the reference
     never had, sound because a culled primitive cannot intersect any
-    tested segment (the cull geometry reads raw f32 even in the bf16
-    tier — see _raw below — so bf16 coordinate rounding cannot defeat
-    the conservative margin).
+    tested segment. (The cull runs only in the f32 tier: the bf16
+    tier's own coordinate/t rounding would defeat the conservative
+    margin, so run_multi_any_hit statically ignores the hint there.)
 
     Directions MUST be normalized (they are: safe_normalize in
     ops.trace) — the sphere test exploits |d| == 1 to resolve the
@@ -267,12 +267,11 @@ def multi_any_hit_kernel(counts, skips, names, cdt, cull, *refs_list):
             return tuple(new)
 
         def _raw(k):
-            # Cull geometry must be read at FULL f32 precision even in
-            # the bf16 tier: the conservative CULL_MARGIN (1e-2) is far
-            # below bf16 coordinate rounding at demo scales (~0.25+),
-            # which would make the "sound" cull drop real occluders.
+            # Cull geometry reads the uncast f32 refs (the cull runs
+            # only in the f32 tier — see run_multi_any_hit — so this is
+            # belt-and-braces against future keep-set changes).
             r = refs[k]
-            return getattr(r, "_ref", r)
+            return r.raw if hasattr(r, "raw") else r
 
         def s_culled(p, accs):
             return _maybe(p, accs,
@@ -352,7 +351,11 @@ def run_multi_any_hit(prim_fields: dict, counts, o, dirs, limits, skips,
     S = len(dirs)
     rows = _rows(dtype)
     rp = _round_block(R, rows)
-    cull = conv_points is not None
+    # The hull cull's conservative margin (backend.py CULL_MARGIN) only
+    # bounds f32 rounding; the bf16 tier's coordinate/t rounding at demo
+    # scales (~0.25+) would defeat it, so the hint is statically ignored
+    # there rather than made unsound.
+    cull = conv_points is not None and jnp.dtype(dtype) == jnp.float32
 
     geom = {k: v for k, v in prim_fields.items() if not k.endswith("_dens")}
     ray_names = ["ox", "oy", "oz"]

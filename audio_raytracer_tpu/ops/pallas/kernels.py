@@ -133,6 +133,12 @@ class _CastRef:
     def __init__(self, ref, cdt):
         self._ref, self._cdt = ref, cdt
 
+    @property
+    def raw(self):
+        """The underlying uncast (f32) ref, for consumers that must not
+        see the compute-dtype rounding (e.g. cull geometry)."""
+        return self._ref
+
     def __getitem__(self, idx):
         v = self._ref[idx]
         return v.astype(self._cdt) if v.dtype == jnp.float32 else v

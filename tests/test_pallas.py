@@ -482,7 +482,7 @@ def test_smem_estimate_matches_actual_fields():
     PallasBackend(small, interpret=True)
 
 
-def test_chunked_bf16_tier_composes(scene):
+def test_chunked_bf16_tier_composes():
     """compute_dtype threads through the chunked backend's sub-engines
     (bf16 forward runs; accuracy per the documented bf16 contract)."""
     from audio_raytracer_tpu.ops.pallas import ChunkedPallasBackend
