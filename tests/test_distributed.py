@@ -51,6 +51,22 @@ class TestTwoProcessCluster:
                                    rtol=1e-5, atol=1e-6)
 
 
+class TestKernelTierCluster:
+    def test_pallas_interpret_cluster_matches_single_process(self):
+        """Multi-host x Pallas (BASELINE config 5's production pairing):
+        the 2-process jax.distributed cluster with a kernel engine per
+        shard must match the single-process dense forward."""
+        got = distributed.run_two_process_check(
+            ray_count=RAY_COUNT, local_devices=4, prim_shards=PRIM_SHARDS,
+            port=9937, backend="pallas_interpret")
+        want = _dense_reference()
+        np.testing.assert_allclose(got["muffle"], np.asarray(want.muffle),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["reverb_volume"],
+                                   np.asarray(want.reverb_volume),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestMeshLayout:
     def test_prims_axis_never_crosses_hosts(self):
         # With a single process the helper still builds a valid mesh.
