@@ -1,0 +1,65 @@
+"""Randomized parity sweep: pallas_interpret vs dense across shape
+edges (zero-count types, zero targets, non-power-of-two ray counts,
+single primitives, random bounce depths, compaction on/off).
+
+Each draw is tiny; the value is coverage of padding/masking edges the
+structured tests don't enumerate.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_raytracer_tpu.models.raytracer import forward, random_scene
+from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+from audio_raytracer_tpu.types import TraceConfig
+
+CASES = [
+    # (ns, na, no, targets, rays, bounces, compact)
+    (0, 12, 0, 2, 97, 2, False),     # AABB-only, odd ray count
+    (7, 0, 0, 1, 33, 1, False),      # sphere-only, tiny
+    (0, 0, 9, 3, 130, 3, True),      # OBB-only, compaction
+    (1, 1, 1, 2, 64, 4, False),      # single prim of each type
+    (5, 9, 4, 0, 50, 2, False),      # ZERO targets (echo set only)
+    (6, 8, 6, 5, 201, 3, True),      # many targets, odd rays, compact
+]
+
+
+def test_random_shape_parity():
+    for i, (ns, na, no, T, R, B, compact) in enumerate(CASES):
+        scene = random_scene(jax.random.key(100 + i), num_spheres=ns,
+                             num_aabbs=na, num_obbs=no, num_targets=T,
+                             extent=20.0, size_range=(1.0, 4.0))
+        cfg = TraceConfig(ray_count=R, max_bounces=B, max_ray_life=80.0,
+                          num_accum_batches=2, compact_rays=compact)
+        origin = jnp.asarray([0.3, -0.2, 0.1])
+        dirs = fibonacci_directions(R)
+        r_d, s_d = forward(origin, dirs, scene, cfg, backend="jnp")
+        r_p, s_p = forward(origin, dirs, scene, cfg,
+                           backend="pallas_interpret")
+        # Tolerance contract, not bit-equality: a closest-hit near-TIE
+        # between two primitives can resolve differently under the
+        # kernels' Newton-refined reciprocal (~1 ulp) vs XLA's divide,
+        # and the whole bounce path of that ray then diverges (chaotic
+        # reflection). Random draws do hit such ties (case 2, seed 102:
+        # one of 130 rays). Allow a couple of rays' worth of drift;
+        # anything structural (padding, masking, accumulation) would
+        # blow well past it.
+        R_, H_ = np.asarray(r_d.echo_distances).shape
+        mh_d = np.asarray(r_d.muffle_hits).astype(np.int64)
+        mh_p = np.asarray(r_p.muffle_hits).astype(np.int64)
+        assert np.abs(mh_d - mh_p).sum() <= 3 * H_, (
+            f"case {i}: muffle_hits drift {np.abs(mh_d - mh_p).sum()}")
+        echo_mismatch = (np.abs(np.asarray(r_d.echo_distances)
+                                - np.asarray(r_p.echo_distances))
+                         > 1e-3).mean()
+        assert echo_mismatch <= 3.0 / R_, f"case {i}: echo {echo_mismatch}"
+        np.testing.assert_allclose(
+            np.asarray(s_d.muffle), np.asarray(s_p.muffle),
+            rtol=1e-3, atol=3.0 * H_ / max(R_ * H_, 1),
+            err_msg=f"case {i}: muffle")
+        np.testing.assert_allclose(
+            np.asarray(r_d.permeation), np.asarray(r_p.permeation),
+            rtol=1e-3, atol=1e-2, err_msg=f"case {i}: permeation")
