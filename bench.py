@@ -107,6 +107,38 @@ def _bench_fwd(args, cfg, scene, origin, dirs, backend):
     return dt
 
 
+def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
+    """Steady-state serving throughput: K frames dispatched back-to-back
+    (the orchestrator's async production pattern,
+    runtime/orchestrator.py) so host dispatch latency amortizes; wall
+    time of the drained pipeline / K. The single-step record includes
+    one full dispatch+drain round trip per frame and is the honest
+    LATENCY number; this is the honest THROUGHPUT number."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_raytracer_tpu.models.raytracer import forward
+
+    @jax.jit
+    def step(origin, dirs, scene):
+        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        return settings
+
+    _drain(step(origin, dirs, scene))  # warmup / compile
+    K = 5
+    times = []
+    for trial in range(max(2, args.iters // 2)):
+        t0 = time.perf_counter()
+        outs = [step(origin + jnp.float32(i) * 1e-6, dirs, scene)
+                for i in range(K)]
+        _drain(outs[-1])
+        times.append((time.perf_counter() - t0) / K)
+    dt = sorted(times)[len(times) // 2]
+    _emit("rays_per_s_per_chip_fwd_pipelined", args.rays / dt,
+          {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K})
+    return dt
+
+
 def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
     """Forward at the REFERENCE's own default ray budget: maxRayLife
     125 m (Player.prefab / Audio/AudioRayTracer.cs:20) instead of this
@@ -324,6 +356,7 @@ def main():
         _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
     if args.mode in ("both", "fwd"):
         _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend)
+        _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend)
         _bench_fwd(args, cfg, scene, origin, dirs, backend)
 
     print(f"# {args.rays} rays x {args.prims} prims x {args.bounces + 1} "
