@@ -230,3 +230,40 @@ class TestQuaternionPacking:
         np.testing.assert_allclose(np.asarray(quaternion.rotate(q, v)),
                                    np.asarray(quaternion.rotate(q2, v)),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestDegenerateRays:
+    """safe_dir nudge path + strict-< occlusion boundary (the
+    reference's `t < dist` comparison, CanRaySeePoint)."""
+
+    def test_axis_parallel_ray_through_box(self):
+        # d.x == 0: the slab division takes the nudge path; the ray is
+        # inside the box's x-extent so it still hits.
+        aabbs = Aabbs.build([[0.0, 0.0, 5.0]], [[1.0, 1.0, 1.0]])
+        scene = Scene.build(None, aabbs, None, None)
+        o = _r([0.5, 0.0, 0.0])
+        d = _r([0.0, 0.0, 1.0])
+        hit, t, _ = intersect.closest_hit(o, d, scene)
+        assert bool(hit[0]) and abs(float(t[0]) - 4.0) < 1e-5
+
+    def test_axis_parallel_ray_outside_slab_misses(self):
+        aabbs = Aabbs.build([[0.0, 0.0, 5.0]], [[1.0, 1.0, 1.0]])
+        scene = Scene.build(None, aabbs, None, None)
+        o = _r([2.5, 0.0, 0.0])  # outside the x slab
+        d = _r([0.0, 0.0, 1.0])
+        hit, _, _ = intersect.closest_hit(o, d, scene)
+        assert not bool(hit[0])
+
+    def test_occlusion_strict_at_limit(self):
+        # Blocker entered at exactly t = 4; occluded iff t < limit
+        # STRICTLY: limit == 4 -> not occluded, limit slightly above ->
+        # occluded.
+        aabbs = Aabbs.build([[0.0, 0.0, 5.0]], [[1.0, 1.0, 1.0]])
+        scene = Scene.build(None, aabbs, None, None)
+        o = _r([0.0, 0.0, 0.0])
+        d = _r([0.0, 0.0, 1.0])
+        occ_at = intersect.any_hit_within(o, d, jnp.asarray([4.0]), scene)
+        occ_past = intersect.any_hit_within(o, d, jnp.asarray([4.0001]),
+                                            scene)
+        assert not bool(occ_at[0])
+        assert bool(occ_past[0])
