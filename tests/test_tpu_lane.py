@@ -379,3 +379,51 @@ def test_reverb_tail_dsp_on_device():
     assert np.isfinite(np.asarray(state2.reverb_tail)).all()
     # Tail carry charged by the convolution stage.
     assert float(jnp.abs(state2.reverb_tail).sum()) > 0.0
+
+
+def test_orchestrator_survives_growth_past_smem_budget():
+    """Live registry growth across the SMEM boundary: the reference's
+    registry grows without limit (AudioColliderManager.cs:42-62); here
+    a snapshot that outgrows the ~16K-primitive budget must re-trace
+    onto the chunked backend and keep ticking — no assert, no crash."""
+    import time
+
+    from audio_raytracer_tpu.ops.pallas.chunked import num_chunks_required
+    from audio_raytracer_tpu.runtime import AsyncRaytraceLoop, SceneRegistry
+
+    reg = SceneRegistry()
+    try:
+        rng = np.random.default_rng(0)
+        for _ in range(64):
+            reg.add_aabb(rng.uniform(-40, 40, 3), rng.uniform(0.5, 3.0, 3))
+        reg.add_target((0.0, 0.0, 3.0))
+        cfg = TraceConfig(ray_count=2048, max_bounces=2, max_ray_life=60.0,
+                          max_muffle_hit_distance=50.0)
+        loop = AsyncRaytraceLoop(reg, cfg, backend="pallas",
+                                 compute_async=False)
+        s_small = loop.tick(np.zeros(3))
+        s_small = loop.tick(np.zeros(3))
+        assert s_small is not None
+
+        # Grow past the budget (pow2 snapshot padding: jumping to 64K
+        # AABBs -> needs multiple SMEM chunks).
+        centers = rng.uniform(-60, 60, (60_000, 3))
+        halves = rng.uniform(0.5, 2.0, (60_000, 3))
+        for c, h in zip(centers[:60_000:16], halves[:60_000:16]):
+            reg.add_aabb(c, h)  # 3750 adds -> snapshot pads to 4096
+        snap = reg.snapshot()
+        # Keep the growth bounded for test time but confirm the chunk
+        # logic engages at this padded size or force it by adding more.
+        while num_chunks_required(snap) < 2:
+            for c, h in zip(rng.uniform(-60, 60, (4096, 3)),
+                            rng.uniform(0.5, 2.0, (4096, 3))):
+                reg.add_aabb(c, h)
+            snap = reg.snapshot()
+        assert num_chunks_required(snap) >= 2
+
+        s_big = loop.tick(np.zeros(3))  # re-traces onto ChunkedPallasBackend
+        s_big = loop.tick(np.zeros(3))
+        m = np.asarray(s_big.muffle)
+        assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+    finally:
+        reg.close()
