@@ -458,6 +458,34 @@ class TestConvergenceHullCull:
                                  conv_points=conv)
         np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
 
+    def test_cull_composes_with_chunked_chaining(self, scene):
+        """conv_points threads through ChunkedPallasBackend's chunk
+        chaining (each chunk re-culls against the same hulls while
+        consuming the previous chunk's occlusion bits) — still
+        invisible in the results."""
+        from audio_raytracer_tpu.ops.backend import NO_SKIP
+        from audio_raytracer_tpu.ops.pallas import ChunkedPallasBackend
+
+        R = 128
+        o = jax.random.uniform(jax.random.key(4), (R, 3), minval=-15.0,
+                               maxval=15.0)
+        conv = jnp.concatenate(
+            [jnp.zeros((1, 3)),
+             jnp.asarray(scene.target_positions[:1])], axis=0)
+        dirs, limits = [], []
+        for s_ in range(2):
+            to = conv[s_] - o
+            dist = jnp.linalg.norm(to, axis=-1)
+            dirs.append(to / dist[:, None])
+            limits.append(dist)
+        limits = jnp.stack(limits, axis=-1)
+        init = jnp.zeros((R, 2), bool)
+        be = ChunkedPallasBackend(scene, num_chunks=3, interpret=True)
+        occ0 = be.multi_occluded(o, dirs, limits, (NO_SKIP, 0), init)
+        occ1 = be.multi_occluded(o, dirs, limits, (NO_SKIP, 0), init,
+                                 conv_points=conv)
+        np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+
 
 def test_smem_estimate_matches_actual_fields():
     """PallasBackend.smem_bytes must track the real field dict (the
