@@ -151,3 +151,64 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(restored["params"].aabb.echo),
             np.asarray(params.aabb.echo))
+
+
+class TestTrainingResume:
+    """Checkpoint/resume of the FULL training state (params + optimizer
+    moments): interrupted training must continue exactly where it left
+    off (SURVEY §5 checkpoint/resume, applied to the gradient
+    workload)."""
+
+    def test_resume_continues_identically(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from audio_raytracer_tpu.models.differentiable import (
+            Loudness,
+            SceneParams,
+            make_train_step,
+        )
+        from audio_raytracer_tpu.models.raytracer import random_scene
+        from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+        from audio_raytracer_tpu.types import TraceConfig
+        from audio_raytracer_tpu.utils.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        cfg = TraceConfig(ray_count=48, max_bounces=2, max_ray_life=80.0)
+        scene = random_scene(jax.random.key(4), 4, 6, 4, num_targets=2,
+                             extent=12.0, size_range=(1.5, 4.0))
+        origin = jnp.zeros(3)
+        dirs = fibonacci_directions(48)
+        target = Loudness(muffle=jnp.full((2,), 0.4),
+                          permeation=jnp.full((2,), 0.3),
+                          reverb_energy=jnp.asarray(0.1))
+        step, opt = make_train_step(cfg)
+        params = SceneParams.from_scene(scene)
+        opt_state = opt.init(params)
+
+        # Train 3 steps, checkpoint, train 2 more (reference run).
+        for _ in range(3):
+            params, opt_state, _ = step(params, opt_state, scene, origin,
+                                        dirs, target)
+        save_checkpoint(tmp_path / "ck", {"params": params,
+                                          "opt_state": opt_state})
+        ref_p, ref_o = params, opt_state
+        for _ in range(2):
+            ref_p, ref_o, ref_loss = step(ref_p, ref_o, scene, origin,
+                                          dirs, target)
+
+        # Restore into fresh structures and continue: identical result.
+        restored = restore_checkpoint(
+            tmp_path / "ck",
+            {"params": SceneParams.from_scene(scene),
+             "opt_state": opt.init(SceneParams.from_scene(scene))})
+        r_p, r_o = restored["params"], restored["opt_state"]
+        for _ in range(2):
+            r_p, r_o, r_loss = step(r_p, r_o, scene, origin, dirs, target)
+        np.testing.assert_allclose(float(r_loss), float(ref_loss),
+                                   rtol=1e-6, atol=1e-8)
+        for a, b in zip(jax.tree.leaves(ref_p), jax.tree.leaves(r_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
