@@ -210,3 +210,22 @@ def test_max_bounce_depth_26_hits():
     np.testing.assert_allclose(np.asarray(s_d.muffle),
                                np.asarray(s_p.muffle), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_accum_batch_ids_reference_formula():
+    """accum_batch_ids must reproduce the reference's thread-batch
+    mapping exactly: batchSize = ceil(rayCount / threads), batchId =
+    rayStartIndex * batchCount / rayCount with integer math
+    (Audio/AudioRayTracer.cs:161, AudioRaytracerJobBatched.cs:63-64) —
+    including non-dividing ray counts."""
+    from audio_raytracer_tpu.ops.trace import accum_batch_ids
+
+    for R, B in [(130, 2), (100, 3), (7, 4), (512, 8), (33, 5)]:
+        got = np.asarray(accum_batch_ids(R, B))
+        batch_size = -(-R // B)
+        want = np.array([((r // batch_size) * batch_size) * B // R
+                         for r in range(R)])
+        np.testing.assert_array_equal(got, want, err_msg=f"R={R} B={B}")
+        # Ids stay in range even when ceil-batching leaves trailing
+        # batches empty.
+        assert got.min() >= 0 and got.max() < B
