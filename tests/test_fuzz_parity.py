@@ -63,3 +63,43 @@ def test_random_shape_parity():
         np.testing.assert_allclose(
             np.asarray(r_d.permeation), np.asarray(r_p.permeation),
             rtol=1e-3, atol=1e-2, err_msg=f"case {i}: permeation")
+
+
+def test_gradient_shape_edges():
+    """Materials-gradient parity (dense AD vs the hand-closed pallas
+    adjoints) at adversarial shapes: zero-count types, single prims,
+    odd ray counts — guards the bwd kernels' padding/masking edges."""
+    from audio_raytracer_tpu.models.differentiable import (
+        Loudness,
+        SceneParams,
+        loudness_loss,
+    )
+    from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+    grad_cases = [
+        (0, 10, 0, 2, 65, 2),   # AABB-only, odd rays
+        (5, 0, 3, 1, 40, 2),    # no AABBs
+        (1, 1, 1, 3, 96, 3),    # single prim each
+    ]
+    for i, (ns, na, no, T, R, B) in enumerate(grad_cases):
+        scene = random_scene(jax.random.key(200 + i), num_spheres=ns,
+                             num_aabbs=na, num_obbs=no, num_targets=T,
+                             extent=15.0, size_range=(1.5, 4.0))
+        cfg = TraceConfig(ray_count=R, max_bounces=B, max_ray_life=90.0)
+        origin = jnp.asarray([0.2, 0.1, -0.3])
+        dirs = fibonacci_directions(R)
+        params = SceneParams.from_scene(scene)
+        target = Loudness(muffle=jnp.full((T,), 0.4),
+                          permeation=jnp.full((T,), 0.3),
+                          reverb_energy=jnp.asarray(0.1))
+
+        g_dense = jax.grad(loudness_loss)(params, scene, origin, dirs,
+                                          cfg, target)
+        g_pal = jax.grad(loudness_loss)(
+            params, scene, origin, dirs, cfg, target,
+            backend_fn=lambda s: make_pallas_backend(
+                s, interpret=True, differentiable=True))
+        for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_pal)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
+                err_msg=f"grad case {i}")
