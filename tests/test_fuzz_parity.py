@@ -103,3 +103,40 @@ def test_gradient_shape_edges():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
                 err_msg=f"grad case {i}")
+
+
+def test_dens_only_adjoint_matches_full_for_materials():
+    """pose_grads=False (the cheap density-only chord adjoint) must give
+    IDENTICAL material gradients to the full adjoint — only the (dead)
+    ray-pose cotangents differ. This is the invariant that justifies
+    benching materials training with the cheap backward."""
+    from audio_raytracer_tpu.models.differentiable import (
+        Loudness,
+        SceneParams,
+        loudness_loss,
+    )
+    from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+    scene = random_scene(jax.random.key(77), num_spheres=5, num_aabbs=8,
+                         num_obbs=5, num_targets=2, extent=15.0,
+                         size_range=(1.5, 4.0))
+    cfg = TraceConfig(ray_count=64, max_bounces=2, max_ray_life=90.0)
+    origin = jnp.asarray([0.2, 0.1, -0.3])
+    dirs = fibonacci_directions(64)
+    params = SceneParams.from_scene(scene)
+    target = Loudness(muffle=jnp.full((2,), 0.4),
+                      permeation=jnp.full((2,), 0.3),
+                      reverb_energy=jnp.asarray(0.1))
+
+    def grad_with(pose_grads):
+        return jax.grad(loudness_loss)(
+            params, scene, origin, dirs, cfg, target,
+            backend_fn=lambda s: make_pallas_backend(
+                s, interpret=True, differentiable=True,
+                pose_grads=pose_grads))
+
+    g_full = grad_with(True)
+    g_dens = grad_with(False)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dens)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
