@@ -224,3 +224,43 @@ class TestTieBreakAcrossShards:
             np.asarray(result.echo_distances),
             np.asarray(dense_result.echo_distances), rtol=1e-5, atol=1e-5)
         assert_settings_close(settings, dense_settings)
+
+
+class TestChunkedEngineUnderPrimSharding:
+    """ChunkedPallasBackend's local-engine protocol (_unpad_rank /
+    attr_rows) composing under the 2-D mesh: a per-device primitive
+    shard larger than SMEM runs chunked per shard and the cross-shard
+    scan-rank merge still picks the dense winner."""
+
+    def test_2d_mesh_with_chunked_local_engine(self, scene):
+        import functools
+
+        from audio_raytracer_tpu.ops.backend import PrimShardedBackend
+        from audio_raytracer_tpu.ops.pallas import ChunkedPallasBackend
+        from audio_raytracer_tpu.parallel import sharded as sh
+
+        cfg = TraceConfig(ray_count=64, max_bounces=2, max_ray_life=150.0,
+                          num_accum_batches=4)
+        _, dense_settings = dense_reference(scene, cfg)
+
+        # Monkeypatch the local-engine factory to FORCE chunking (the
+        # small test shards fit SMEM, so exercise the chunk machinery
+        # explicitly with num_chunks=2 per shard).
+        orig = sh.make_local_engine
+
+        def chunked_engine(scene_local, backend, differentiable=False):
+            return ChunkedPallasBackend(scene_local, num_chunks=2,
+                                        interpret=True,
+                                        differentiable=differentiable)
+
+        sh.make_local_engine = chunked_engine
+        try:
+            mesh = make_mesh(ray_shards=4, prim_shards=2)
+            padded = pad_scene_for_prim_shards(scene, 2)
+            step = sh.make_sharded_forward(cfg, mesh,
+                                           backend="pallas_interpret")
+            settings = step(jnp.zeros(3),
+                            fibonacci_directions(cfg.ray_count), padded)
+        finally:
+            sh.make_local_engine = orig
+        assert_settings_close(settings, dense_settings)
