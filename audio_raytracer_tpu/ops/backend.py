@@ -25,7 +25,10 @@ from audio_raytracer_tpu.types import Scene
 Array = jnp.ndarray
 
 _ATTR_KEYS = ("kind", "center", "half_extents", "inv_rot", "absorption", "echo")
-_INT_MAX = jnp.int32(2**31 - 1)
+# Python int, NOT a module-level jnp constant: device constants created
+# at import cache the first shard_map mesh they're traced under and
+# poison later traces over different meshes.
+_INT_MAX = 2**31 - 1
 
 # "Skip no audio target" sentinel for multi-set occlusion / permeation
 # (real target ids are >= 0; -1 means "prim not owned", so the sentinel

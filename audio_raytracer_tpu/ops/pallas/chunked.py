@@ -48,7 +48,11 @@ from audio_raytracer_tpu.ops import intersect
 from audio_raytracer_tpu.types import Scene
 
 Array = jnp.ndarray
-_INT_MAX = jnp.int32(2**31 - 1)
+# Python int, NOT a module-level jnp constant: a device constant created
+# at import carries the FIRST shard_map mesh it is traced under in its
+# cached aval and poisons later traces over different meshes (see the
+# kernels.py "Python literals" note; caught by cross-mesh test ordering).
+_INT_MAX = 2**31 - 1
 
 
 def _slice_prims(prims, lo: int, n: int):
