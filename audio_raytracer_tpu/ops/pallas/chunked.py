@@ -77,7 +77,16 @@ def num_chunks_required(scene: Scene) -> int:
 
     ns, na, no = (scene.spheres.count, scene.aabbs.count, scene.obbs.count)
     need = estimate_smem_bytes(ns, na, no)
-    return max(1, -(-need // K.SMEM_BYTES))
+    n = max(1, -(-need // K.SMEM_BYTES))
+    # pad_scene_for_prim_shards rounds each TYPE count up to a multiple
+    # of n, so a count just under a chunk boundary can push the padded
+    # per-chunk layout back over the budget (e.g. an OBB-only scene of
+    # 13,797 prims: 2 chunks of ceil(13797/2)=6899 OBBs = 524,324 B >
+    # SMEM_BYTES). Bump until the chunks as actually built fit.
+    while estimate_smem_bytes(-(-ns // n), -(-na // n),
+                              -(-no // n)) > K.SMEM_BYTES:
+        n += 1
+    return n
 
 
 class ChunkedPallasBackend:
@@ -224,6 +233,12 @@ class ChunkedPallasBackend:
         return t
 
     def occluded(self, o, d, limit, skip_target_id=None) -> Array:
+        """OR of per-chunk occlusion. Unlike ``multi_occluded`` (whose
+        kernel takes the previous chunks' bits as ``init_occ`` so
+        early-resolved lanes skip later chunks' streams), the single-set
+        kernel has no init input — chaining here is OR-only with no
+        block-skip work saving. Results are identical; the production
+        trace path uses the multi form."""
         occ = jnp.zeros(o.shape[:-1], bool)
         for sub in self._subs:
             occ = occ | sub.occluded(o, d, limit, skip_target_id)

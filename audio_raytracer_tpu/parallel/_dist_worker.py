@@ -47,25 +47,20 @@ def run():
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    from audio_raytracer_tpu.models.raytracer import random_scene
     from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
-    from audio_raytracer_tpu.parallel.mesh import pad_scene_for_prim_shards
     from audio_raytracer_tpu.parallel.sharded import (
         make_sharded_forward,
         scene_pspec,
     )
-    from audio_raytracer_tpu.types import TraceConfig
 
     mesh = distributed.make_distributed_mesh(prim_shards=args.prim_shards)
     ray_shards = mesh.shape["rays"]
 
-    cfg = TraceConfig(ray_count=args.ray_count, max_bounces=3,
-                      max_ray_life=150.0, num_accum_batches=ray_shards,
-                      num_reverb_bins=8, ir_max_distance=80.0)
-    scene = pad_scene_for_prim_shards(
-        random_scene(jax.random.key(42), num_spheres=6, num_aabbs=10,
-                     num_obbs=8, num_targets=2, extent=14.0,
-                     size_range=(1.0, 4.0)), args.prim_shards)
+    # The one shared workload definition (distributed.check_workload):
+    # the parent compares this run against dense_check_reference on the
+    # identical cfg + scene.
+    cfg, scene = distributed.check_workload(args.ray_count,
+                                            args.prim_shards, ray_shards)
     dirs = np.asarray(fibonacci_directions(args.ray_count))
 
     def globalize(local_np, spec):

@@ -101,6 +101,57 @@ def make_distributed_mesh(prim_shards: int = 1,
     return jax.sharding.Mesh(dev_array, ("rays", "prims"))
 
 
+def check_workload(ray_count: int, prim_shards: int, ray_shards: int,
+                   muffle_effectiveness: float = 0.15,
+                   permeation_effectiveness: float = 0.1):
+    """The deterministic scene + config of the 2-process cluster check.
+
+    One definition shared by the worker (_dist_worker), the in-process
+    dense reference (dense_check_reference) and the pytest
+    shard-invariance lane, so the compared runs cannot drift apart.
+    The default effectiveness values put muffle strictly inside (0, 1)
+    on this scene at every accum-batch count the checks use (1-4; the
+    per-batch permeation overwrite quirk scales the permeation term with
+    the batch count) — a saturated-to-zero muffle would make the
+    comparison non-discriminating (a broken psum that clamps to zero
+    prints the same thing).
+    """
+    import jax
+
+    from audio_raytracer_tpu.models.raytracer import random_scene
+    from audio_raytracer_tpu.parallel.mesh import pad_scene_for_prim_shards
+    from audio_raytracer_tpu.types import TraceConfig
+
+    cfg = TraceConfig(ray_count=ray_count, max_bounces=3,
+                      max_ray_life=150.0, num_accum_batches=ray_shards,
+                      num_reverb_bins=8, ir_max_distance=80.0,
+                      muffle_effectiveness=muffle_effectiveness,
+                      permeation_effectiveness=permeation_effectiveness)
+    scene = pad_scene_for_prim_shards(
+        random_scene(jax.random.key(42), num_spheres=6, num_aabbs=10,
+                     num_obbs=8, num_targets=2, extent=14.0,
+                     size_range=(1.0, 4.0)), prim_shards)
+    return cfg, scene
+
+
+def dense_check_reference(ray_count: int, prim_shards: int,
+                          ray_shards: int) -> dict:
+    """Single-process dense forward on the cluster-check workload — the
+    ground truth the 2-process cluster's collective outcome must match
+    (the reduce being verified: Jobs/ProcessAudioDataJob.cs:61-76)."""
+    import jax.numpy as jnp
+
+    from audio_raytracer_tpu.models.raytracer import forward
+    from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+
+    cfg, scene = check_workload(ray_count, prim_shards, ray_shards)
+    _, settings = forward(jnp.zeros(3), fibonacci_directions(ray_count),
+                          scene, cfg)
+    return {"muffle": np.asarray(settings.muffle),
+            "reverb_strength": np.asarray(settings.reverb_strength),
+            "reverb_volume": np.asarray(settings.reverb_volume)}
+
+
 def run_two_process_check(ray_count: int = 64, local_devices: int = 4,
                           prim_shards: int = 2, timeout: float = 600.0,
                           port: int = 9931, backend: str = "jnp"):

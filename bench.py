@@ -190,11 +190,13 @@ def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
 
     backend_fn = None
     if backend == "pallas":
-        from audio_raytracer_tpu.ops.pallas import PallasBackend
+        # The factory composes with ChunkedPallasBackend beyond the
+        # ~16K-prim SMEM budget, like the production paths.
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
 
         def backend_fn(s):
-            return PallasBackend(s, differentiable=True,
-                                 pose_grads=pose_grads)
+            return make_pallas_backend(s, differentiable=True,
+                                       pose_grads=pose_grads)
 
     if pose_grads:
         # Differentiate w.r.t. the listener origin too, so the full

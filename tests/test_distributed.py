@@ -8,31 +8,20 @@ BASELINE config 5.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from audio_raytracer_tpu.models.raytracer import forward, random_scene
-from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
 from audio_raytracer_tpu.parallel import distributed
-from audio_raytracer_tpu.parallel.mesh import pad_scene_for_prim_shards
-from audio_raytracer_tpu.types import TraceConfig
 
 RAY_COUNT = 64
 PRIM_SHARDS = 2
+RAY_SHARDS = 4  # 2 processes x 4 local devices / 2 prim shards
 
 
 def _dense_reference():
-    """The same workload _dist_worker runs, on one process, dense."""
-    cfg = TraceConfig(ray_count=RAY_COUNT, max_bounces=3,
-                      max_ray_life=150.0, num_accum_batches=4,
-                      num_reverb_bins=8, ir_max_distance=80.0)
-    scene = pad_scene_for_prim_shards(
-        random_scene(jax.random.key(42), num_spheres=6, num_aabbs=10,
-                     num_obbs=8, num_targets=2, extent=14.0,
-                     size_range=(1.0, 4.0)), PRIM_SHARDS)
-    _, settings = forward(jnp.zeros(3), fibonacci_directions(RAY_COUNT),
-                          scene, cfg)
-    return settings
+    """The same workload _dist_worker runs, on one process, dense
+    (distributed.check_workload — shared definition, cannot drift)."""
+    return distributed.dense_check_reference(RAY_COUNT, PRIM_SHARDS,
+                                             RAY_SHARDS)
 
 
 class TestTwoProcessCluster:
@@ -41,13 +30,17 @@ class TestTwoProcessCluster:
             ray_count=RAY_COUNT, local_devices=4, prim_shards=PRIM_SHARDS,
             port=9935)
         want = _dense_reference()
-        np.testing.assert_allclose(got["muffle"], np.asarray(want.muffle),
+        # The check workload keeps muffle strictly interior so the
+        # comparison discriminates (a zero-saturated muffle would match
+        # a broken psum that clamps to zero).
+        assert (want["muffle"] > 0.0).all() and (want["muffle"] < 1.0).all()
+        np.testing.assert_allclose(got["muffle"], want["muffle"],
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(got["reverb_strength"],
-                                   np.asarray(want.reverb_strength),
+                                   want["reverb_strength"],
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(got["reverb_volume"],
-                                   np.asarray(want.reverb_volume),
+                                   want["reverb_volume"],
                                    rtol=1e-5, atol=1e-6)
 
 
@@ -60,10 +53,10 @@ class TestKernelTierCluster:
             ray_count=RAY_COUNT, local_devices=4, prim_shards=PRIM_SHARDS,
             port=9937, backend="pallas_interpret")
         want = _dense_reference()
-        np.testing.assert_allclose(got["muffle"], np.asarray(want.muffle),
+        np.testing.assert_allclose(got["muffle"], want["muffle"],
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(got["reverb_volume"],
-                                   np.asarray(want.reverb_volume),
+                                   want["reverb_volume"],
                                    rtol=1e-5, atol=1e-6)
 
 

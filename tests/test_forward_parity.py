@@ -125,6 +125,53 @@ class TestForwardParity:
         assert_parity(result, settings, otr, operm, oproc)
 
 
+class TestFixedSeedExactRegression:
+    """Exact-count pin on one committed scene (VERDICT r3 weak #5).
+
+    The statistical parity gates above admit up to 0.5% echo mismatch
+    (razor-edge f32-vs-f64 trajectory divergence vs the oracle); this
+    pin freezes one fixed seed's exact integer outputs so silent drift
+    INSIDE that tolerance band — a changed tie-break, an epsilon tweak,
+    a reordered reduction — fails loudly. Each engine is pinned with its
+    OWN recorded values (the kernel tier's approx-reciprocal slab tests
+    flip a handful of razor-edge occlusions vs the jnp formulas — a
+    known, fuzz-bounded divergence, itself worth pinning).
+    """
+
+    # [batch, target] counts / nonzero entries / rays-by-bounce-count.
+    PINS = {
+        "jnp": ([[42, 58], [26, 25]], 88, [176, 57, 16, 4, 0, 3]),
+        "pallas_interpret": ([[43, 60], [27, 26]], 92,
+                             [176, 57, 14, 5, 1, 3]),
+    }
+
+    def _check(self, backend):
+        cfg = TraceConfig(ray_count=256, max_bounces=4, max_ray_life=150.0,
+                          num_accum_batches=2)
+        scene = random_scene(jax.random.key(7), num_spheres=8, num_aabbs=16,
+                             num_obbs=8, num_targets=2, extent=18.0,
+                             size_range=(1.0, 4.0))
+        result, _ = jax.jit(
+            lambda o, d, s: forward(o, d, s, cfg, backend=backend,
+                                    collect_debug=True))(
+            jnp.zeros(3), fibonacci_directions(256), scene)
+        muffle_hits, echo_nonzero, hist = self.PINS[backend]
+        np.testing.assert_array_equal(
+            np.asarray(result.muffle_hits).astype(int),
+            np.asarray(muffle_hits))
+        assert int((np.asarray(result.echo_distances) != 0).sum()) \
+            == echo_nonzero
+        np.testing.assert_array_equal(
+            np.bincount(np.asarray(result.hit_counts), minlength=6),
+            np.asarray(hist))
+
+    def test_jnp_engine_pinned(self):
+        self._check("jnp")
+
+    def test_kernel_tier_pinned(self):
+        self._check("pallas_interpret")
+
+
 class TestFibonacci:
     def test_unit_norm_interior(self):
         d = np.asarray(fibonacci_directions(500))

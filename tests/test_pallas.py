@@ -351,6 +351,23 @@ class TestChunkedBackend:
         assert isinstance(make_pallas_backend(small, interpret=True),
                           PallasBackend)
 
+    def test_chunk_count_accounts_for_padding(self):
+        # An OBB-only scene of exactly 13,797 prims needs 1,048,572 B:
+        # the naive byte-count ceil gives 2 chunks, but padding rounds
+        # the type count up per chunk (2 x 6,899 OBBs = 524,324 B >
+        # SMEM_BYTES), so the count must bump to 3 instead of tripping
+        # the per-chunk SMEM assert on a valid scene.
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+        from audio_raytracer_tpu.ops.pallas.chunked import (
+            num_chunks_required,
+        )
+
+        scene = random_scene(jax.random.key(5), num_spheres=0,
+                             num_aabbs=0, num_obbs=13_797, num_targets=1)
+        assert num_chunks_required(scene) == 3
+        be = make_pallas_backend(scene, interpret=True)
+        assert be.num_chunks == 3
+
     def test_chunked_matches_dense_closest_and_occlusion(self):
         from audio_raytracer_tpu.ops.backend import NO_SKIP, DenseBackend
         from audio_raytracer_tpu.ops.pallas import ChunkedPallasBackend
