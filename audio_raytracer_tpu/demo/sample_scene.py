@@ -82,5 +82,15 @@ def sample_scene_dict(ray_count: int = 314, max_bounces: int = 4) -> dict:
             {"collider": len(colliders) - 1, "speed": 3.0,
              "waypoints": [[8, 1.5, 12], [16, 1.5, 12], [16, 1.5, 4],
                            [8, 1.5, 4]]},
+            # The "radio" source orbits the room (a moving AudioTargetRT,
+            # AudioTargetRT.cs:53-62): the target position AND its owned
+            # collider ride the same waypoint loop, so the rendered WAV
+            # audibly pans as the source circles the listener.
+            {"target": 0, "speed": 6.0,
+             "waypoints": [[12, 1.5, 12], [12, 1.5, -12], [-12, 1.5, -12],
+                           [-12, 1.5, 12]]},
+            {"collider": 14, "speed": 6.0,
+             "waypoints": [[12, 1.5, 12], [12, 1.5, -12], [-12, 1.5, -12],
+                           [-12, 1.5, 12]]},
         ],
     }

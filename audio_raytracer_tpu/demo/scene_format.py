@@ -19,9 +19,19 @@ Schema (all sections optional except colliders/targets):
   "targets":   [{"position": [..], "name": "..."}],
   "animations": [
     {"collider": index_into_colliders, "waypoints": [[..],[..]],
+     "speed": units_per_second},
+    {"target": index_into_targets, "waypoints": [[..],[..]],
      "speed": units_per_second}
   ]
 }
+
+A "target" animation moves an audio SOURCE (the AudioTargetRT.cs:53-62
+per-frame position sync, published via AudioTargetManager.cs:105-122):
+the new position feeds the muffle/permeation rays and comes back out as
+TargetSettings.perceived_position for the DSP pan. To move a source AND
+its owned collider together (a co-located AudioTargetRT + AudioCollider
+GameObject), declare both a "target" and a "collider" animation with the
+same waypoints.
 """
 
 from __future__ import annotations
@@ -64,10 +74,26 @@ def _resolve_material(spec, materials):
     return (float(a), float(d), float(e))
 
 
+def _advance_waypoints(position, waypoints, wp: int, speed: float,
+                       dt: float):
+    """One waypoint-mover step (PlatformMover.cs:18-27 semantics):
+    advance toward waypoint ``wp`` at ``speed`` units/sec, looping.
+    Returns (new_position, new_wp)."""
+    if position is None:
+        position = np.asarray(waypoints[0], float).copy()
+    target = np.asarray(waypoints[wp], float)
+    delta = target - position
+    dist = float(np.linalg.norm(delta))
+    move = speed * dt
+    if dist <= move or dist == 0.0:
+        return target.copy(), (wp + 1) % len(waypoints)
+    return position + delta / dist * move, wp
+
+
 @dataclasses.dataclass
 class Animation:
-    """Waypoint mover: advances toward the next waypoint at ``speed``
-    units/sec, looping (PlatformMover.cs:5-34 semantics)."""
+    """Waypoint mover for a COLLIDER: the PlatformMover dynamic-geometry
+    path (re-bake through the registry each frame)."""
 
     handle: int
     kind: str  # collider type
@@ -78,17 +104,8 @@ class Animation:
     position: np.ndarray | None = None
 
     def step(self, registry: SceneRegistry, dt: float):
-        if self.position is None:
-            self.position = np.asarray(self.waypoints[0], float).copy()
-        target = np.asarray(self.waypoints[self._wp], float)
-        delta = target - self.position
-        dist = float(np.linalg.norm(delta))
-        move = self.speed * dt
-        if dist <= move or dist == 0.0:
-            self.position = target.copy()
-            self._wp = (self._wp + 1) % len(self.waypoints)
-        else:
-            self.position = self.position + delta / dist * move
+        self.position, self._wp = _advance_waypoints(
+            self.position, self.waypoints, self._wp, self.speed, dt)
         kw = dict(self.base)
         if self.kind == "sphere":
             registry.update_sphere(self.handle, self.position, **kw)
@@ -96,6 +113,23 @@ class Animation:
             registry.update_aabb(self.handle, self.position, **kw)
         else:
             registry.update_obb(self.handle, self.position, **kw)
+
+
+@dataclasses.dataclass
+class TargetAnimation:
+    """Waypoint mover for an AUDIO TARGET (moving source): the
+    AudioTargetRT.cs:53-62 position sync, exercised per frame."""
+
+    index: int  # target index
+    waypoints: np.ndarray  # [K, 3]
+    speed: float
+    _wp: int = 1
+    position: np.ndarray | None = None
+
+    def step(self, registry: SceneRegistry, dt: float):
+        self.position, self._wp = _advance_waypoints(
+            self.position, self.waypoints, self._wp, self.speed, dt)
+        registry.set_target_position(self.index, self.position)
 
 
 @dataclasses.dataclass
@@ -152,12 +186,17 @@ def build_registry(doc: dict) -> LoadedScene:
 
     animations = []
     for a in doc.get("animations", []):
+        waypoints = np.asarray(a["waypoints"], float)
+        speed = float(a.get("speed", 2.0))
+        if "target" in a:
+            animations.append(TargetAnimation(
+                index=int(a["target"]), waypoints=waypoints, speed=speed))
+            continue
         idx = a["collider"]
         kind, base = collider_info[idx]
         animations.append(Animation(
             handle=handles[idx], kind=kind, base=base,
-            waypoints=np.asarray(a["waypoints"], float),
-            speed=float(a.get("speed", 2.0))))
+            waypoints=waypoints, speed=speed))
 
     listener = np.asarray(
         doc.get("listener", {}).get("position", [0, 0, 0]), float)

@@ -42,6 +42,7 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
                    reverb_strength=np.zeros(frames),
                    reverb_volume=np.zeros(frames),
                    listener=np.zeros((frames, 3)),
+                   perceived_position=np.zeros((frames, T, 3)),
                    frame_ms=np.zeros(frames))
     if n_bins > 0:
         history["reverb_ir"] = np.zeros((frames, n_bins))
@@ -59,8 +60,17 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
             history["muffle"][f] = np.asarray(settings.muffle)
             history["reverb_strength"][f] = float(settings.reverb_strength)
             history["reverb_volume"][f] = float(settings.reverb_volume)
+            # The position the completed trace actually used — the
+            # PercievedAudioPosition the DSP pans with
+            # (AudioTargetRTSettings.cs:8-16; moving sources via
+            # TargetAnimation land here a harvest later).
+            history["perceived_position"][f] = np.asarray(
+                settings.perceived_position)
             if n_bins > 0 and loop.reverb_ir is not None:
                 history["reverb_ir"][f] = np.asarray(loop.reverb_ir)
+        else:
+            history["perceived_position"][f] = np.asarray(
+                loaded.registry.snapshot().target_positions)
         history["listener"][f] = np.asarray(pos)
         history["frame_ms"][f] = (time.perf_counter() - t0) * 1e3
         if verbose and f % max(1, frames // 10) == 0:
@@ -106,7 +116,13 @@ def render_wav(loaded, history, path, sample_rate=48000, dt=1.0 / 60.0):
                                     float(sample_rate)) - 1
     freqs = [220.0 * (1.5 ** i) for i in range(T)]
     states = [DSPState.zero(tail_len=tail_len) for _ in range(T)]
-    targets = np.asarray(loaded.registry.snapshot().target_positions)
+    # Per-frame perceived positions (moving sources pan audibly);
+    # histories from older captures without the key fall back to the
+    # registry's static target positions.
+    static_targets = np.asarray(loaded.registry.snapshot().target_positions)
+    pos_hist = history.get(
+        "perceived_position",
+        np.broadcast_to(static_targets, (frames,) + static_targets.shape))
 
     # One compiled DSP step (shapes are frame-invariant): eager
     # per-sample-op dispatch through a relayed device would pay the
@@ -119,6 +135,7 @@ def render_wav(loaded, history, path, sample_rate=48000, dt=1.0 / 60.0):
     mix = np.zeros((frames * n_per_frame, 2), np.float32)
     phase = np.zeros(T)
     for f in range(frames):
+        targets = np.asarray(pos_hist[f])
         rt = TargetSettings(
             muffle=jnp.asarray(history["muffle"][f]),
             reverb_strength=jnp.asarray(history["reverb_strength"][f]),

@@ -55,6 +55,7 @@ def load() -> ctypes.CDLL:
         lib.art_add_target.restype = ctypes.c_int
         lib.art_add_target.argtypes = [ctypes.c_void_p, ctypes.c_float,
                                        ctypes.c_float, ctypes.c_float]
+        lib.art_set_target_position.restype = ctypes.c_int
         lib.art_set_target_position.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_float]

@@ -116,8 +116,13 @@ class SceneRegistry:
                                                      for v in position])
 
     def set_target_position(self, idx, position):
-        self._lib.art_set_target_position(self._reg, idx,
-                                          *[float(v) for v in position])
+        """Per-frame moving-source sync (AudioTargetRT.cs:53-62): the
+        new position reaches the kernels — and TargetSettings.
+        perceived_position — at the next snapshot() publish."""
+        rc = self._lib.art_set_target_position(
+            self._reg, idx, *[float(v) for v in position])
+        if rc != 0:
+            raise KeyError(f"invalid target {idx}")
 
     def remove_target(self, idx):
         rc = self._lib.art_remove_target(self._reg, idx)

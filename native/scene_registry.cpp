@@ -177,12 +177,17 @@ int art_add_target(void* p, float x, float y, float z) {
   return r->target_count() - 1;
 }
 
-void art_set_target_position(void* p, int idx, float x, float y, float z) {
+// Per-frame position sync for moving sources (AudioTargetRT.cs:53-62,
+// published via AudioTargetManager.cs:105-122). Bounds-checked like the
+// reference's defensive id checks (AudioColliderManager.cs:92-93).
+int art_set_target_position(void* p, int idx, float x, float y, float z) {
   Registry* r = reg(p);
+  if (idx < 0 || idx >= r->target_count()) return -1;
   r->target_next[static_cast<size_t>(idx) * 3 + 0] = x;
   r->target_next[static_cast<size_t>(idx) * 3 + 1] = y;
   r->target_next[static_cast<size_t>(idx) * 3 + 2] = z;
   r->target_dirty = true;
+  return 0;
 }
 
 // Swap-back target removal with collider target_id fixup (the reference's

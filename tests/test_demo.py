@@ -24,7 +24,9 @@ class TestSceneFormat:
         assert counts[0] == 4  # spheres (2 + 2 target-owned)
         assert counts[1] == 10  # aabbs incl. platform
         assert counts[2] == 3
-        assert len(loaded.animations) == 1
+        # Platform mover + the orbiting "radio" source (target + its
+        # owned collider on the same waypoint loop).
+        assert len(loaded.animations) == 3
         assert loaded.cfg.ray_count == 32
         loaded.registry.close()
 
@@ -127,6 +129,65 @@ class TestScenePlayer:
         # must differ by well over quantization noise.
         diff_rms = np.sqrt(((wet - dry) ** 2).mean())
         assert diff_rms > 50.0, diff_rms
+        loaded.registry.close()
+
+
+class TestMovingTarget:
+    """Moving audio source, end to end (VERDICT r3 missing #1 / ask #4):
+    a TargetAnimation drives registry.set_target_position each frame,
+    the traced perceived_position follows, and the rendered WAV audibly
+    pans as the source crosses the listener."""
+
+    def _crossing_scene(self):
+        # One source sweeps left (-x) to right (+x) in front of the
+        # listener; a floor gives the bounce rays something to hit.
+        return {
+            "trace": {"ray_count": 64, "max_bounces": 1,
+                      "max_ray_life": 100.0},
+            "listener": {"position": [0, 0, 0]},
+            "colliders": [
+                {"type": "aabb", "center": [0, -2, 0],
+                 "half_extents": [30, 0.5, 30], "material": "concrete"},
+            ],
+            "targets": [{"position": [-10, 0, 2], "name": "mover"}],
+            "animations": [
+                {"target": 0, "speed": 20.0,
+                 "waypoints": [[-10, 0, 2], [10, 0, 2]]},
+            ],
+        }
+
+    def test_target_animation_moves_perceived_position(self):
+        loaded = build_registry(self._crossing_scene())
+        history = simulate(loaded, frames=10, dt=0.1, verbose=False)
+        pp = history["perceived_position"][:, 0, :]
+        # The source swept +x at 2 units/frame (speed 20 x dt 0.1) and
+        # the traced perceived_position followed (one-frame harvest lag).
+        assert pp[-1, 0] > pp[2, 0] + 5.0
+        np.testing.assert_allclose(pp[:, 2], 2.0, atol=1e-5)
+        anim = loaded.animations[0]
+        np.testing.assert_allclose(anim.position, [10, 0, 2], atol=1e-5)
+        loaded.registry.close()
+
+    def test_wav_pans_left_to_right(self, tmp_path):
+        import wave
+
+        loaded = build_registry(self._crossing_scene())
+        history = simulate(loaded, frames=10, dt=0.1, verbose=False)
+        out = tmp_path / "pan.wav"
+        render_wav(loaded, history, str(out), sample_rate=8000, dt=0.1)
+        with wave.open(str(out)) as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()),
+                                np.int16).astype(np.float64).reshape(-1, 2)
+        q = len(pcm) // 4
+        def lr_energy(seg):
+            return (seg[:, 0] ** 2).sum(), (seg[:, 1] ** 2).sum()
+        l_early, r_early = lr_energy(pcm[:q])
+        l_late, r_late = lr_energy(pcm[-q:])
+        # Source left of listener early -> left channel louder; right
+        # late -> right channel louder (equal-power pan,
+        # BinauralDSP.cs:28-30).
+        assert l_early > 1.5 * r_early, (l_early, r_early)
+        assert r_late > 1.5 * l_late, (l_late, r_late)
         loaded.registry.close()
 
 

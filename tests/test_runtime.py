@@ -84,6 +84,25 @@ class TestRegistry:
         np.testing.assert_allclose(np.asarray(scene.target_positions),
                                    [[5, 0, 0]])
 
+    def test_moving_target_position_sync(self, reg):
+        # The AudioTargetRT.cs:53-62 moving-source path: the new
+        # position is invisible until the next publish, then lands in
+        # the snapshot with a version bump; bad indices are rejected.
+        t0 = reg.add_target([0, 0, 3])
+        s1 = reg.snapshot()
+        v1 = reg.version
+        reg.set_target_position(t0, [5, 0, 3])
+        np.testing.assert_allclose(np.asarray(s1.target_positions),
+                                   [[0, 0, 3]])  # pre-publish snapshot
+        s2 = reg.snapshot()
+        assert reg.version == v1 + 1
+        np.testing.assert_allclose(np.asarray(s2.target_positions),
+                                   [[5, 0, 3]])
+        with pytest.raises(KeyError):
+            reg.set_target_position(t0 + 1, [0, 0, 0])
+        with pytest.raises(KeyError):
+            reg.set_target_position(-1, [0, 0, 0])
+
     def test_static_shapes_under_growth(self, reg):
         for i in range(6):
             reg.add_sphere([0, 0, float(i + 2)], 0.5)
@@ -132,3 +151,25 @@ class TestAsyncLoop:
         # With the wall gone nothing is hit: muffle=1 (nothing heard via
         # rays) but permeation no longer drains — behavior just changes.
         assert float(blocked.muffle[0]) != float(open_.muffle[0])
+
+    def test_moving_target_flows_through(self, reg):
+        # Moving-SOURCE analog (AudioTargetRT.cs:53-62 + the
+        # AudioTargetManager.cs:105-122 publish): the wall stays put,
+        # the audio target moves from behind it into the open; the next
+        # harvested frame must trace against — and report — the new
+        # position.
+        reg.add_aabb([0, 0, 3], [5, 5, 0.5], material=(0.0, 5.0, 1.0))
+        t = reg.add_target([0, 0, 6])
+        cfg = TraceConfig(ray_count=128, max_bounces=1, max_ray_life=100.0)
+        loop = AsyncRaytraceLoop(reg, cfg, compute_async=False)
+
+        loop.tick([0, 0, 0])
+        behind = loop.tick([0, 0, 0])
+        reg.set_target_position(t, [0, 0, -6])  # wall no longer between
+        loop.tick([0, 0, 0])
+        moved = loop.tick([0, 0, 0])
+        np.testing.assert_allclose(
+            np.asarray(behind.perceived_position), [[0, 0, 6]])
+        np.testing.assert_allclose(
+            np.asarray(moved.perceived_position), [[0, 0, -6]])
+        assert float(behind.muffle[0]) != float(moved.muffle[0])
