@@ -66,20 +66,9 @@ class AsyncRaytraceLoop:
     def __init__(self, registry, cfg: TraceConfig, backend: str = "jnp",
                  compute_async: bool = True):
         self.registry = registry
-        self.cfg = cfg
         self.compute_async = compute_async
-        self._directions = fibonacci_directions(cfg.ray_count)
         self._backend = backend
-
-        def step(origin, directions, scene):
-            result, settings = forward(origin, directions, scene, cfg,
-                                       backend=backend)
-            # The IR histogram rides along when enabled so the DSP tail
-            # stage (models/spatializer.spatialize(reverb_ir=...)) can
-            # consume it per frame.
-            return settings, result.reverb_ir
-
-        self._step = jax.jit(step)
+        self._adopt_config(cfg)
         self._in_flight = None
         self._sentinel = None
         self._latest = None
@@ -93,6 +82,36 @@ class AsyncRaytraceLoop:
         self.batch_cycle_ms = 0.0
         self.frames_dispatched = 0
         self.frames_harvested = 0
+
+    def _adopt_config(self, cfg: TraceConfig):
+        """(Re)build the ray buffers + jitted step for ``cfg``."""
+        self.cfg = cfg
+        self._directions = fibonacci_directions(cfg.ray_count)
+        backend = self._backend
+
+        def step(origin, directions, scene):
+            result, settings = forward(origin, directions, scene, cfg,
+                                       backend=backend)
+            # The IR histogram rides along when enabled so the DSP tail
+            # stage (models/spatializer.spatialize(reverb_ir=...)) can
+            # consume it per frame.
+            return settings, result.reverb_ir
+
+        self._step = jax.jit(step)
+
+    def reconfigure(self, cfg: TraceConfig):
+        """Adopt a changed TraceConfig mid-run — the reference's editor
+        failsafe that re-allocates ray buffers when inspector params
+        change (Audio/AudioRayTracer.cs:110-133). The in-flight frame
+        (traced under the old config) is dropped, directions and the
+        jitted step are rebuilt, and the next ``tick`` dispatches under
+        the new config; the latest completed settings stay available so
+        the DSP never starves. No-op when nothing changed."""
+        if cfg == self.cfg:
+            return
+        self._adopt_config(cfg)
+        self._in_flight = None
+        self._sentinel = None
 
     def tick(self, origin) -> TargetSettings | None:
         """One frame: harvest if complete, re-sync scene, dispatch next."""

@@ -173,3 +173,35 @@ class TestAsyncLoop:
         np.testing.assert_allclose(
             np.asarray(moved.perceived_position), [[0, 0, -6]])
         assert float(behind.muffle[0]) != float(moved.muffle[0])
+
+    def test_live_reconfigure(self, reg):
+        # The editor failsafe re-alloc (Audio/AudioRayTracer.cs:110-133):
+        # ray_count / max_bounces / num_reverb_bins change mid-run; the
+        # loop rebuilds directions + jit and keeps serving without a
+        # manual rebuild.
+        import dataclasses
+
+        reg.add_aabb([0, 0, 6], [4, 4, 1], material=(0.1, 1.0, 1.0))
+        reg.add_target([0, 0, 3])
+        cfg = TraceConfig(ray_count=64, max_bounces=2, max_ray_life=100.0)
+        loop = AsyncRaytraceLoop(reg, cfg, compute_async=False)
+        loop.tick([0, 0, 0])
+        before = loop.tick([0, 0, 0])
+        assert before is not None and loop._directions.shape == (64, 3)
+
+        cfg2 = dataclasses.replace(cfg, ray_count=128, max_bounces=4,
+                                   num_reverb_bins=16)
+        loop.reconfigure(cfg2)
+        # In-flight frame (old config) dropped; latest stays available.
+        assert loop._in_flight is None
+        assert loop.tick([0, 0, 0]) is not None  # serves `before`
+        after = loop.tick([0, 0, 0])
+        assert loop._directions.shape == (128, 3)
+        assert after.muffle.shape == (1,)
+        assert 0.0 <= float(after.muffle[0]) <= 1.0
+        assert loop.reverb_ir is not None and loop.reverb_ir.shape == (16,)
+
+        # Unchanged config is a no-op (keeps the compiled step cached).
+        step_obj = loop._step
+        loop.reconfigure(dataclasses.replace(cfg2))
+        assert loop._step is step_obj
