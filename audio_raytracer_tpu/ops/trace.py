@@ -48,11 +48,14 @@ def accum_batch_ids(ray_count: int, num_batches: int) -> jnp.ndarray:
     return (ray_start * num_batches) // ray_count
 
 
-def alive_partition(alive: Array) -> tuple[Array, Array]:
+def alive_partition(alive: Array,
+                    with_inverse: bool = True) -> tuple[Array, Array | None]:
     """Stable alive-first permutation and its inverse: ``(order, pos)``
     with x[order] packing the alive lanes into a dense prefix (relative
     order preserved on both sides) and y[pos] undoing it
     (y[pos][order] == y... i.e. pos[i] is where lane i lands).
+    ``with_inverse=False`` skips the pos cumsums (returns None) for the
+    unordered compaction tier that never restores.
 
     ``order`` comes from XLA's stable boolean sort (~1 ms at 1M rays on
     a v5e); ``pos`` from two cumsums. BOTH directions are applied as
@@ -67,6 +70,8 @@ def alive_partition(alive: Array) -> tuple[Array, Array]:
     blocks recovers the work saving at block granularity).
     """
     order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
+    if not with_inverse:
+        return order, None
     a = alive.astype(jnp.int32)
     pos_alive = jnp.cumsum(a) - a  # rank among alive lanes
     n_alive = pos_alive[-1] + a[-1]
@@ -200,23 +205,45 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
     # with max_ray_life=300 the alive fraction stays >= 0.74 through the
     # last bounce and the reorder is a net loss, hence default-off.
     compact = cfg.compact_rays and block_skip
+    # Unordered tier: skip the inverse-permutation restore entirely —
+    # sound because every consumer of the non-debug outputs is a
+    # permutation-invariant reduction (see TraceConfig.compact_unordered)
+    # and the carry never needs original order at all. The accum-batch
+    # ids ride the forward row gather so the muffle segment-reduce can
+    # happen per bounce on the compacted lanes.
+    unordered = compact and cfg.compact_unordered and not collect_debug
+    B = cfg.num_accum_batches
+    # With one accum batch the muffle reduce is a plain sum — no batch
+    # ids need to ride the compaction at all.
+    carry_bids = unordered and B > 1
 
     dt = directions.dtype
 
     def bounce(carry, step):
-        o, d, life, alive = carry
+        bids = batch_ids
+        if unordered:
+            if carry_bids:
+                o, d, life, alive, bids, muffle_acc = carry
+            else:
+                o, d, life, alive, muffle_acc = carry
+        else:
+            o, d, life, alive = carry
         pos = None
         if compact:
-            # Stable alive-first reorder: carry in, everything back out
-            # via the inverse gather at the end of the bounce. One packed
-            # row gather each way (see _pack_rows) keeps the movement
-            # coalesced.
-            order, pos = alive_partition(alive)
-            rows = _pack_rows(o, d, life, alive)[order]
+            # Stable alive-first reorder: carry in and (unless
+            # unordered) everything back out via the inverse gather at
+            # the end of the bounce. One packed row gather each way
+            # (see _pack_rows) keeps the movement coalesced.
+            order, pos = alive_partition(alive,
+                                         with_inverse=not unordered)
+            cols = (o, d, life, alive) + ((bids,) if carry_bids else ())
+            rows = _pack_rows(*cols)[order]
             o = _unpack_col(rows, slice(0, 3), dt)
             d = _unpack_col(rows, slice(3, 6), dt)
             life = _unpack_col(rows, 6, dt)
             alive = rows[:, 7] > 0.5
+            if carry_bids:
+                bids = _unpack_col(rows, 8, jnp.int32)
 
         hit, t, attrs = backend.closest_hit(
             o, d, alive=alive if block_skip else None)
@@ -252,6 +279,27 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         d = jnp.where(can_continue[..., None], d_new, d)
         life = jnp.where(can_continue, life_new, life)
 
+        if unordered:
+            # No restore: lanes stay compacted into the next bounce; the
+            # muffle counts reduce to [B, T] right here on the compacted
+            # batch ids, and the echo column feeds only sums/histograms.
+            # NEVER segment_sum here: a [R]->[B] scatter-add inside the
+            # loop serializes on TPU (~9 ms/bounce measured); a plain
+            # sum (B == 1) or a one-hot matmul (small B, MXU-shaped,
+            # exact in f32 below 2^24 counts) is bandwidth-bound.
+            m = muffle_inc.astype(jnp.float32)
+            if B == 1:
+                seg = jnp.sum(m, axis=0, keepdims=True)
+            else:
+                one_hot = (bids[:, None] == jnp.arange(B)[None, :]
+                           ).astype(jnp.float32)
+                seg = jnp.einsum("rb,rt->bt", one_hot, m)
+            muffle_acc = muffle_acc + seg.astype(jnp.int32)
+            carry = ((o, d, life, alive_next, bids, muffle_acc)
+                     if carry_bids
+                     else (o, d, life, alive_next, muffle_acc))
+            return carry, (t, echo_val)
+
         outputs = (t, echo_val, muffle_inc, live_hit, p)
         if compact:
             # Restore original ray order with ONE packed inverse-perm
@@ -284,19 +332,29 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0))
 
-    _, (t_all, echo, muffle_inc, hit_mask, hit_points) = \
-        jax.lax.scan(bounce, (o0, d0, life0, alive0),
-                     jnp.arange(H), length=H)
+    if unordered:
+        acc0 = jnp.zeros((B, T), jnp.int32)
+        carry0 = ((o0, d0, life0, alive0, batch_ids, acc0) if carry_bids
+                  else (o0, d0, life0, alive0, acc0))
+        carry_out, (t_all, echo) = jax.lax.scan(
+            bounce, carry0, jnp.arange(H), length=H)
+        muffle_hits = carry_out[-1]
+        hit_mask = None
+    else:
+        _, (t_all, echo, muffle_inc, hit_mask, hit_points) = \
+            jax.lax.scan(bounce, (o0, d0, life0, alive0),
+                         jnp.arange(H), length=H)
+        hit_mask = jnp.moveaxis(hit_mask, 0, 1)  # [R, H]
+        # Per-(accum batch, target) muffle counts (the per-thread-batch
+        # rows of AudioTargetManager.MuffleRayHits reduced over bounces
+        # and rays).
+        muffle_per_ray = jnp.sum(muffle_inc.astype(jnp.int32),
+                                 axis=0)  # [R, T]
+        muffle_hits = jax.ops.segment_sum(
+            muffle_per_ray, batch_ids, num_segments=cfg.num_accum_batches)
 
     # scan stacks outputs on axis 0 = bounce slot; reorder to [R, H].
     echo = jnp.moveaxis(echo, 0, 1)  # [R, H]
-    hit_mask = jnp.moveaxis(hit_mask, 0, 1)  # [R, H]
-
-    # Per-(accum batch, target) muffle counts (the per-thread-batch rows of
-    # AudioTargetManager.MuffleRayHits reduced over bounces and rays).
-    muffle_per_ray = jnp.sum(muffle_inc.astype(jnp.int32), axis=0)  # [R, T]
-    muffle_hits = jax.ops.segment_sum(
-        muffle_per_ray, batch_ids, num_segments=cfg.num_accum_batches)
 
     result = TraceResult(
         echo_distances=echo,
@@ -305,6 +363,8 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         # Primary-ray first hit: reused by ops.permeation so the
         # permeation job does not re-scan the scene for it
         # (AudioPermeationJobBatched.cs:101-141 recomputes; we share).
+        # Valid in the unordered tier too: bounce 0's alive mask is all
+        # -True, so its partition is the identity permutation.
         first_hit_t=t_all[0],
     )
     if collect_debug:

@@ -96,7 +96,8 @@ def make_local_engine(scene_local, backend: str, differentiable=False):
 
 def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
                          return_result: bool = False,
-                         backend: str = "jnp"):
+                         backend: str = "jnp",
+                         elide_collectives: bool = False):
     """Build the jitted sharded forward step.
 
     Returns ``step(origin, directions, scene) -> TargetSettings`` (or
@@ -107,6 +108,14 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
     "pallas" (each device streams its ray/primitive shard through the
     Pallas kernels; "pallas_interpret" for CPU-mesh testing).
 
+    ``elide_collectives`` is a BENCHMARKING DIAGNOSTIC only: the
+    ray-axis psums are replaced by identity, so every device does the
+    identical local work but no cross-device reduction happens and the
+    returned settings are per-shard partials (globally WRONG numbers).
+    Timing the normal step against this variant decomposes scaling
+    overhead into collective cost vs shard_map/dispatch overhead
+    (bench.py --mesh). Requires return_result=False.
+
     Requirements: ray_count divisible by the 'rays' axis size; per-type
     primitive counts divisible by the 'prims' axis size (use
     parallel.mesh.pad_scene_for_prim_shards); non-empty scene when
@@ -116,6 +125,7 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
     prim_shards = mesh.shape["prims"]
     assert cfg.ray_count % ray_shards == 0, (
         f"ray_count {cfg.ray_count} not divisible by {ray_shards} ray shards")
+    assert not (elide_collectives and return_result)
     local_cfg = dataclasses.replace(cfg, num_accum_batches=1)
     prim_sharded = prim_shards > 1
     # The pallas paths mix varying/unvarying values inside kernel traces
@@ -123,9 +133,17 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
     # operand is an unvaried SMEM scalar, breaking fori carry typing on
     # the compiled Mosaic trace; the HLO interpreter has the same
     # problem) — disable shard_map's vma checking for them. The jnp tier
-    # type-checks fully.
-    check_vma = backend == "jnp"
+    # type-checks fully. The elided diagnostic returns shard-varying
+    # values through replicated out_specs, so it must skip the check too.
+    check_vma = backend == "jnp" and not elide_collectives
     pvary_axes = ("rays",) if check_vma else ()
+    if elide_collectives:
+        def ray_psum(x, axis_name):
+            return x
+        ir_axis_name = None
+    else:
+        ray_psum = jax.lax.psum
+        ir_axis_name = "rays"
 
     def local_step(origin, dirs_local, scene_local):
         engine = make_local_engine(scene_local, backend)
@@ -147,17 +165,17 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
             # (exactly like the muffle/permeation accumulators).
             result = dataclasses.replace(
                 result, reverb_ir=reverb_op.impulse_response(
-                    result.echo_distances, cfg, axis_name="rays"))
+                    result.echo_distances, cfg, axis_name=ir_axis_name))
 
         echo = result.echo_distances
         dt = echo.dtype
         # Partial sums -> global psum over the ray axis.
-        zero_entries = jax.lax.psum(
+        zero_entries = ray_psum(
             jnp.sum((echo == 0.0).astype(dt)), "rays")
-        reverb_total = jax.lax.psum(jnp.sum(echo), "rays")
-        total_hits = jax.lax.psum(
+        reverb_total = ray_psum(jnp.sum(echo), "rays")
+        total_hits = ray_psum(
             jnp.sum(result.muffle_hits, axis=0).astype(dt), "rays")
-        total_perm = jax.lax.psum(jnp.sum(perm, axis=0), "rays")
+        total_perm = ray_psum(jnp.sum(perm, axis=0), "rays")
 
         settings = _settings_from_partials(
             zero_entries, reverb_total, total_hits, total_perm, scene_local,

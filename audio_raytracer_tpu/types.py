@@ -291,6 +291,19 @@ class TraceConfig:
     # absorptive scenes); with long-lived rays the free block-level
     # aliveness skip (always on for kernel backends) is strictly better.
     compact_rays: bool = False
+    # With compact_rays, additionally SKIP the per-bounce inverse
+    # -permutation restore of the outputs: TraceResult.echo_distances
+    # rows arrive permuted within each bounce column (and hit-order
+    # -dependent debug fields are unavailable), but everything the
+    # reduce/DSP stage consumes — muffle_hits, echo sums/zero counts,
+    # the reverb IR histogram, first_hit_t (bounce 0 is never permuted:
+    # all rays start alive, so its partition is the identity) — is
+    # bit-identical: those are permutation-invariant reductions, exactly
+    # like the reference's EchoRayDistances buffer that only ever feeds
+    # ProcessAudioDataJob's sums (Jobs/ProcessAudioDataJob.cs:38-51).
+    # Saves the ~8 ms/bounce restore gather + the inverse-permutation
+    # cumsums at 1M rays. Ignored when collect_debug needs ordered rows.
+    compact_unordered: bool = False
 
     @property
     def max_hits_per_ray(self) -> int:

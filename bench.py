@@ -57,7 +57,7 @@ def _time_step(step, origin, dirs, scene, iters):
     return sorted(times)[len(times) // 2]  # median
 
 
-def _emit(metric, rays_per_s, extra=None):
+def _record(metric, rays_per_s, extra=None):
     rec = {
         "metric": metric,
         "value": round(rays_per_s, 1),
@@ -66,7 +66,11 @@ def _emit(metric, rays_per_s, extra=None):
     }
     if extra:
         rec.update(extra)
-    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _emit(metric, rays_per_s, extra=None):
+    print(json.dumps(_record(metric, rays_per_s, extra)), flush=True)
 
 
 def _build_inputs(args):
@@ -102,9 +106,8 @@ def _bench_fwd(args, cfg, scene, origin, dirs, backend):
         return settings
 
     dt = _time_step(step, origin, dirs, scene, args.iters)
-    _emit("rays_per_s_per_chip_fwd", args.rays / dt,
-          {"step_ms": round(dt * 1e3, 2)})
-    return dt
+    return _record("rays_per_s_per_chip_fwd", args.rays / dt,
+                   {"step_ms": round(dt * 1e3, 2)})
 
 
 def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
@@ -134,9 +137,8 @@ def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
         _drain(outs[-1])
         times.append((time.perf_counter() - t0) / K)
     dt = sorted(times)[len(times) // 2]
-    _emit("rays_per_s_per_chip_fwd_pipelined", args.rays / dt,
-          {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K})
-    return dt
+    return _record("rays_per_s_per_chip_fwd_pipelined", args.rays / dt,
+                   {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K})
 
 
 def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
@@ -152,8 +154,14 @@ def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
 
     from audio_raytracer_tpu.models.raytracer import forward
 
+    # compact_unordered: the production forward consumes only
+    # permutation-invariant reductions of the trace outputs, so the
+    # per-bounce inverse-permutation restore is skipped (~40 ms/step at
+    # 1M rays; settings/IR bit-identical — tests/test_pallas.py::
+    # TestRayCompaction::test_unordered_tier_invariants).
     cfg_ref = dataclasses.replace(cfg, max_ray_life=125.0,
-                                  compact_rays=True)
+                                  compact_rays=True,
+                                  compact_unordered=True)
 
     @jax.jit
     def step(origin, dirs, scene):
@@ -161,10 +169,9 @@ def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
         return settings
 
     dt = _time_step(step, origin, dirs, scene, args.iters)
-    _emit("rays_per_s_per_chip_fwd_reflife", args.rays / dt,
-          {"step_ms": round(dt * 1e3, 2), "max_ray_life": 125.0,
-           "compact_rays": True})
-    return dt
+    return _record("rays_per_s_per_chip_fwd_reflife", args.rays / dt,
+                   {"step_ms": round(dt * 1e3, 2), "max_ray_life": 125.0,
+                    "compact_rays": True})
 
 
 def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
@@ -214,9 +221,8 @@ def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
 
     dt = _time_step(step, origin, dirs, scene, args.iters)
     suffix = "_posegrads" if pose_grads else ""
-    _emit(f"rays_per_s_per_chip_fwd_bwd{suffix}", args.rays / dt,
-          {"step_ms": round(dt * 1e3, 2)})
-    return dt
+    return _record(f"rays_per_s_per_chip_fwd_bwd{suffix}", args.rays / dt,
+                   {"step_ms": round(dt * 1e3, 2)})
 
 
 def _bench_mesh(args, cfg, scene, origin, dirs, backend):
@@ -237,10 +243,15 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
     devs = jax.devices()
     assert len(devs) >= n_dev, f"need {n_dev} devices, have {len(devs)}"
 
-    # Single-device reference.
+    mesh_backend = ("pallas_interpret"
+                    if backend == "pallas" and devs[0].platform == "cpu"
+                    else backend)
+
+    # Single-device reference (same engine tier as the mesh run).
     @jax.jit
     def one_dev(origin, dirs, scene):
-        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        _, settings = forward(origin, dirs, scene, cfg,
+                              backend=mesh_backend)
         return settings
 
     dt1 = _time_step(one_dev, origin, dirs, scene, args.iters)
@@ -249,12 +260,33 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
                      devices=devs[:n_dev])
     scene_p = pad_scene_for_prim_shards(scene, prim_shards)
     cfg_m = dataclasses.replace(cfg, num_accum_batches=ray_shards)
-    step = make_sharded_forward(cfg_m, mesh,
-                                backend=("pallas_interpret"
-                                         if backend == "pallas"
-                                         and devs[0].platform == "cpu"
-                                         else backend))
-    dtn = _time_step(step, origin, dirs, scene_p, args.iters)
+    step = make_sharded_forward(cfg_m, mesh, backend=mesh_backend)
+
+    # Diagnostic: the identical sharded step with the ray-axis psums
+    # replaced by identity (same local work per device, zero cross
+    # -device reduction; results are per-shard partials and discarded).
+    # Decomposes the same-work gap into collective cost vs shard_map /
+    # contention overhead. The two variants are timed INTERLEAVED
+    # (A,B,A,B,...) so slow host-load drift hits both medians equally —
+    # on a 2-core host running an 8-virtual-device mesh, back-to-back
+    # blocks would alias contention drift into the difference.
+    step_nc = make_sharded_forward(cfg_m, mesh, backend=mesh_backend,
+                                   elide_collectives=True)
+    import jax.numpy as jnp
+
+    _drain(step(origin, dirs, scene_p))  # warmup / compile
+    _drain(step_nc(origin, dirs, scene_p))
+    times, times_nc = [], []
+    for i in range(args.iters):
+        o_i = origin + jnp.float32(i) * 1e-6
+        t0 = time.perf_counter()
+        _drain(step(o_i, dirs, scene_p))
+        times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _drain(step_nc(o_i, dirs, scene_p))
+        times_nc.append(time.perf_counter() - t0)
+    dtn = sorted(times)[len(times) // 2]
+    dtn_nc = sorted(times_nc)[len(times_nc) // 2]
 
     eff = dt1 / (dtn * n_dev)
     # On forced-host-platform CPU meshes the N virtual devices share one
@@ -262,10 +294,15 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
     # core contention, not the framework. There the honest number is the
     # same-total-work ratio (1-device time / mesh time on the identical
     # workload): 1.0 = sharding + collectives add zero overhead.
-    _emit(f"rays_per_s_mesh_{ray_shards}x{prim_shards}", args.rays / dtn,
+    tier = "_kernel" if mesh_backend.startswith("pallas") else ""
+    _emit(f"rays_per_s_mesh_{ray_shards}x{prim_shards}{tier}",
+          args.rays / dtn,
           {"step_ms": round(dtn * 1e3, 2),
            "scaling_efficiency_vs_1dev": round(eff, 4),
            "same_work_efficiency_vs_1dev": round(dt1 / dtn, 4),
+           "same_work_efficiency_no_collectives": round(dt1 / dtn_nc, 4),
+           "collective_cost_ms": round((dtn - dtn_nc) * 1e3, 2),
+           "backend": mesh_backend,
            "platform": devs[0].platform})
 
 
@@ -284,30 +321,43 @@ def _spawn_cpu_scaling(py_args):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     bench_path = os.path.abspath(__file__)
-    child_args = ["bench.py", "--mesh", "8x1", "--rays", "65536",
-                  "--prims", "256", "--iters", "3", "--backend", "jnp",
-                  "--no-scaling"]
-    bootstrap = (
-        "import jax;"
-        "jax.config.update('jax_platforms', 'cpu');\n"
-        "try:\n"
-        "    import jax.extend.backend as _jeb; _jeb.clear_backends()\n"
-        "except Exception:\n"
-        "    from jax._src import xla_bridge as _xb; _xb._clear_backends()\n"
-        f"import runpy, sys; sys.argv = {child_args!r};"
-        f"runpy.run_path({bench_path!r}, run_name='__main__')"
-    )
-    try:
-        out = subprocess.run([sys.executable, "-c", bootstrap], env=env,
-                             capture_output=True, text=True, timeout=600)
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                print(line, flush=True)
-        if out.returncode != 0:
-            print(f"# cpu scaling run failed: {out.stderr[-400:]}",
+    # Three records: the 1-D ray mesh, the 2-D rays x prims mesh, and
+    # the kernel tier (pallas interpret per shard — smaller workload:
+    # the HLO interpreter is ~2 orders slower than compiled Mosaic, so
+    # this record measures sharding overhead around the kernels, not
+    # kernel speed).
+    runs = [
+        ("8x1", "65536", "256", "jnp"),
+        ("4x2", "65536", "256", "jnp"),
+        ("8x1", "16384", "256", "pallas"),
+    ]
+    for mesh_arg, rays, prims, be in runs:
+        child_args = ["bench.py", "--mesh", mesh_arg, "--rays", rays,
+                      "--prims", prims, "--iters", "3", "--backend", be,
+                      "--no-scaling"]
+        bootstrap = (
+            "import jax;"
+            "jax.config.update('jax_platforms', 'cpu');\n"
+            "try:\n"
+            "    import jax.extend.backend as _jeb; _jeb.clear_backends()\n"
+            "except Exception:\n"
+            "    from jax._src import xla_bridge as _xb;"
+            " _xb._clear_backends()\n"
+            f"import runpy, sys; sys.argv = {child_args!r};"
+            f"runpy.run_path({bench_path!r}, run_name='__main__')"
+        )
+        try:
+            out = subprocess.run([sys.executable, "-c", bootstrap], env=env,
+                                 capture_output=True, text=True, timeout=600)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if out.returncode != 0:
+                print(f"# cpu scaling run {mesh_arg}/{be} failed: "
+                      f"{out.stderr[-400:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# cpu scaling run {mesh_arg}/{be} timed out",
                   file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print("# cpu scaling run timed out", file=sys.stderr)
 
 
 def main():
@@ -345,21 +395,34 @@ def main():
         _bench_mesh(args, cfg, scene, origin, dirs, backend)
         return
 
-    # Emission order: auxiliary records first, the per-chip headline
-    # records LAST (the driver parses the final JSON line as the round's
-    # representative metric — it must be the chip fwd number, not the
-    # CPU-mesh scaling aside).
+    # MEASUREMENT order != EMISSION order, deliberately:
+    # - The forward lanes measure FIRST, in fresh device state. Measured
+    #   3x back-to-back, fwd-only runs give reflife ~1013-1033 ms while
+    #   a full run that measures the backward lanes first gives
+    #   ~1085 ms (BENCH_r03) — the big backward allocations degrade the
+    #   later forward timings by ~5-7%. Fresh-state numbers are the
+    #   reproducible ones (they match any user running --mode fwd).
+    # - Emission still puts auxiliary records first and the per-chip
+    #   headline LAST (the driver parses the final JSON line as the
+    #   round's representative metric).
+    fwd_recs, bwd_recs = [], []
+    if args.mode in ("both", "fwd"):
+        # Same measurement order as a standalone --mode fwd run.
+        fwd_recs.append(_bench_fwd_reflife(args, cfg, scene, origin, dirs,
+                                           backend))
+        fwd_recs.append(_bench_fwd_pipelined(args, cfg, scene, origin,
+                                             dirs, backend))
+        fwd_recs.append(_bench_fwd(args, cfg, scene, origin, dirs, backend))
+    if args.mode == "both" or args.pose_grads:
+        bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
+                                       backend, pose_grads=True))
+    if args.mode in ("both", "fwd_bwd"):
+        bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
+                                       backend))
     if args.mode == "both" and not args.no_scaling:
         _spawn_cpu_scaling(args)
-    if args.mode == "both" or args.pose_grads:
-        _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
-                       pose_grads=True)
-    if args.mode in ("both", "fwd_bwd"):
-        _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend)
-    if args.mode in ("both", "fwd"):
-        _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend)
-        _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend)
-        _bench_fwd(args, cfg, scene, origin, dirs, backend)
+    for rec in bwd_recs + fwd_recs:
+        print(json.dumps(rec), flush=True)
 
     print(f"# {args.rays} rays x {args.prims} prims x {args.bounces + 1} "
           f"hits x {args.targets} targets | backend {backend} | "

@@ -191,6 +191,30 @@ class TestMovingTarget:
         loaded.registry.close()
 
 
+class TestVisualize:
+    """The gizmo-layer analog (Audio/AudioRayTracer.cs:291-355): traced
+    hits + geometry render headlessly to PNG, and --npz histories plot."""
+
+    def test_trace_and_history_pngs(self, tmp_path):
+        from audio_raytracer_tpu.demo.visualize import (
+            plot_history,
+            plot_trace,
+        )
+
+        loaded = build_registry(sample_scene_dict(ray_count=48,
+                                                  max_bounces=2))
+        out = plot_trace(loaded, str(tmp_path / "trace.png"), rays=48,
+                         trails=8)
+        assert (tmp_path / "trace.png").stat().st_size > 10_000
+        history = simulate(loaded, frames=4, dt=0.05, verbose=False)
+        np.savez(tmp_path / "h.npz", **history)
+        plot_history(str(tmp_path / "h.npz"),
+                     str(tmp_path / "hist.png"),
+                     target_names=loaded.target_names)
+        assert (tmp_path / "hist.png").stat().st_size > 10_000
+        loaded.registry.close()
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         from audio_raytracer_tpu.models.differentiable import SceneParams

@@ -301,6 +301,53 @@ class TestRayCompaction:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-6)
 
+    def test_unordered_tier_invariants(self, scene):
+        """cfg.compact_unordered skips the per-bounce restore: echo rows
+        are permuted WITHIN each bounce column, but every reduction the
+        pipeline consumes must be bit-identical to the ordered tier —
+        muffle_hits, per-column echo sums and zero counts, first_hit_t
+        (bounce 0's partition is the identity), and the final settings."""
+        import dataclasses
+
+        cfg = TraceConfig(ray_count=256, max_bounces=3, max_ray_life=40.0,
+                          num_accum_batches=4, compact_rays=True)
+        cfg_u = dataclasses.replace(cfg, compact_unordered=True)
+        origin = jnp.zeros(3)
+        dirs = fibonacci_directions(256)
+        r_o, s_o = forward(origin, dirs, scene, cfg,
+                           backend="pallas_interpret")
+        r_u, s_u = forward(origin, dirs, scene, cfg_u,
+                           backend="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(r_o.muffle_hits),
+                                      np.asarray(r_u.muffle_hits))
+        np.testing.assert_allclose(np.asarray(r_o.first_hit_t),
+                                   np.asarray(r_u.first_hit_t),
+                                   rtol=1e-6, atol=1e-6)
+        # Column-wise (per bounce slot) permutation invariants.
+        e_o = np.asarray(r_o.echo_distances, np.float64)
+        e_u = np.asarray(r_u.echo_distances, np.float64)
+        np.testing.assert_allclose(e_o.sum(axis=0), e_u.sum(axis=0),
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_array_equal((e_o == 0).sum(axis=0),
+                                      (e_u == 0).sum(axis=0))
+        # Each column is literally a permutation of the ordered column.
+        for h in range(e_o.shape[1]):
+            np.testing.assert_allclose(np.sort(e_o[:, h]),
+                                       np.sort(e_u[:, h]),
+                                       rtol=1e-6, atol=1e-6)
+        for a, b in [(s_o.muffle, s_u.muffle),
+                     (s_o.reverb_strength, s_u.reverb_strength),
+                     (s_o.reverb_volume, s_u.reverb_volume)]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+        # collect_debug needs ordered rows: the flag must yield to it.
+        r_dbg, _ = forward(origin, dirs, scene, cfg_u, collect_debug=True,
+                           backend="pallas_interpret")
+        r_ref, _ = forward(origin, dirs, scene, cfg, collect_debug=True,
+                           backend="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(r_dbg.hit_counts),
+                                      np.asarray(r_ref.hit_counts))
+
     def test_compacted_forward_matches_dense_settings(self, scene):
         """Aggregate parity vs the dense tier with compaction on (a few
         razor's-edge life crossings may flip per-lane booleans between
