@@ -49,7 +49,25 @@ round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
   permutation gathers cost ~14 ms/bounce — and must be GATHERS: a
   scatter-based restore cost ~67 ms/bounce, TPU scatter serializes).
   At the reference's own maxRayLife=125 budget rays die fast and
-  compaction is ~10% end-to-end (1122 -> 1012 ms).
+  compaction is ~10% end-to-end (1122 -> 1012 ms). Round 4's
+  compact_unordered tier (ops/trace.py) halves the reorder cost by
+  skipping the inverse-permutation restore entirely — every non-debug
+  consumer is a permutation-invariant reduction — landing 955 ms at
+  125-life (1.10M rays/s) and flipping compaction to +6% even at
+  300-life (1133 -> 1066 ms). Do NOT reduce the in-loop muffle counts
+  with segment_sum: the [R]->[B] scatter-add serializes on TPU
+  (~9 ms/bounce measured); use a plain sum (B=1) or one-hot matmul.
+- Full pose-grad chord adjoint (fused.run_multi_chord_bwd), measured
+  decomposition of the 1,840-1,955 ms posegrads step at the headline:
+  783 ms in-loop occlusion kernels + 236 closest-hit + 548 chord
+  adjoint + 133 chord forward (linearization) + ~100 XLA fusions.
+  The 548 ms adjoint vs 271 density-only is a measured floor for this
+  architecture: the 3+3S ray-cotangent accumulator arrays (15 at S=4,
+  ~60 vregs in (8,512) blocks) push past the register file — marginal
+  per-set cost measured superlinear (set 2: +76 ms; sets 3-4:
+  +125 ms/set) — but SPLITTING loses outright because each split
+  kernel re-pays the ~150 ms base primitive stream: 4 x S=1 kernels
+  ~888 ms, 2 x S=2 ~596 ms, vs 548 fused. Don't re-try the split.
 - Per-primitive culling via lax.cond is a NET LOSS: the fused occlusion
   kernels support a sound convergence-hull cull (every ray set ends at
   one point, so a scalar AABB(block-origin-box u point) test can skip a

@@ -95,19 +95,35 @@ def _build_inputs(args):
     return cfg, scene, origin, dirs
 
 
+def _production_cfg(cfg):
+    """The serving configuration: unordered ray compaction on. Same
+    user-visible outputs (settings / IR are permutation-invariant
+    reductions; tests/test_pallas.py::test_unordered_tier_invariants);
+    measured +6%% at maxRayLife 300 (1133 -> 1066 ms) and +6%% at 125
+    on a v5e — the halved reorder cost flips compaction from neutral to
+    a win even with long-lived rays."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, compact_rays=True,
+                               compact_unordered=True)
+
+
 def _bench_fwd(args, cfg, scene, origin, dirs, backend):
     import jax
 
     from audio_raytracer_tpu.models.raytracer import forward
 
+    cfg_p = _production_cfg(cfg)
+
     @jax.jit
     def step(origin, dirs, scene):
-        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        _, settings = forward(origin, dirs, scene, cfg_p, backend=backend)
         return settings
 
     dt = _time_step(step, origin, dirs, scene, args.iters)
     return _record("rays_per_s_per_chip_fwd", args.rays / dt,
-                   {"step_ms": round(dt * 1e3, 2)})
+                   {"step_ms": round(dt * 1e3, 2), "compact_rays": True,
+                    "compact_unordered": True})
 
 
 def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
@@ -122,9 +138,11 @@ def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
 
     from audio_raytracer_tpu.models.raytracer import forward
 
+    cfg_p = _production_cfg(cfg)
+
     @jax.jit
     def step(origin, dirs, scene):
-        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        _, settings = forward(origin, dirs, scene, cfg_p, backend=backend)
         return settings
 
     _drain(step(origin, dirs, scene))  # warmup / compile
