@@ -83,6 +83,21 @@ round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
   cannot cull at all: the reference integrates along the UNBOUNDED ray
   (AudioPermeationJobBatched.cs:287 has no upper t limit), and the
   infinite sweep reaches ~98% of primitives.
+- Host-side per-bounce primitive compaction (build a compacted prim
+  list with XLA gathers, stream only that) is ANALYZED-NEGATIVE, by
+  structure not implementation: the 47%/16% bounce-0/1 cull rates are
+  PER-RAY-BLOCK hull rates — a single compacted list shared by the
+  whole grid must keep any primitive inside the union of all 256
+  block hulls x 5 sets, which at demo densities is ~the whole scene
+  (measured on the headline scene: 0.2% global cull at bounce 0,
+  0.0% at bounces 1-4).
+  Per-block lists would cull, but the kernel would then need indirect
+  SMEM scalar loads (prim = fields[list[i]]), the same decoupled
+  -prefetch stall class as the measured +38% lax.cond, plus a
+  [256-block x P x 5-set] hull-test build per bounce that costs about
+  what it saves. The work-avoidance lever that DOES pay on this
+  hardware is the ray axis (aliveness blocks + unordered compaction),
+  not the primitive axis.
 
 Reduced precision (``compute_dtype="bfloat16"``): kernels run geometry
 arithmetic in bf16 (16, 512) blocks with f32 islands for every cmp /
