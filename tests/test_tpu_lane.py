@@ -255,6 +255,39 @@ def test_compacted_forward_compiled_matches_uncompacted(scene):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_unordered_compaction_compiled_invariants(scene):
+    """compact_unordered with COMPILED Mosaic kernels (the production
+    bench tier): per-bounce outputs arrive permuted within columns, but
+    muffle_hits, per-column echo sums, first_hit_t, and settings must
+    be identical to the ordered compiled tier."""
+    origin = jnp.array([0.2, -0.3, 0.1])
+    dirs = fibonacci_directions(8192)
+    cfg = TraceConfig(ray_count=8192, max_bounces=3, max_ray_life=40.0,
+                      max_muffle_hit_distance=100.0, compact_rays=True)
+    cfg_u = dataclasses.replace(cfg, compact_unordered=True)
+    res, st = jax.jit(lambda o, d, s: forward(o, d, s, cfg,
+                                              backend="pallas"))(
+        origin, dirs, scene)
+    res_u, st_u = jax.jit(lambda o, d, s: forward(o, d, s, cfg_u,
+                                                  backend="pallas"))(
+        origin, dirs, scene)
+    np.testing.assert_array_equal(np.asarray(res.muffle_hits),
+                                  np.asarray(res_u.muffle_hits))
+    np.testing.assert_allclose(np.asarray(res.first_hit_t),
+                               np.asarray(res_u.first_hit_t),
+                               rtol=1e-6, atol=1e-6)
+    e_o = np.asarray(res.echo_distances, np.float64)
+    e_u = np.asarray(res_u.echo_distances, np.float64)
+    np.testing.assert_allclose(e_o.sum(axis=0), e_u.sum(axis=0),
+                               rtol=1e-6, atol=1e-4)
+    for h in range(e_o.shape[1]):
+        np.testing.assert_allclose(np.sort(e_o[:, h]), np.sort(e_u[:, h]),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.muffle),
+                               np.asarray(st_u.muffle),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_orchestrator_tick_on_device():
     """AsyncRaytraceLoop on the real device: the host-transfer sentinel
     must produce an honest raytracer_ms and eventually harvest
