@@ -179,6 +179,9 @@ def main():
                    choices=["jnp", "pallas", "pallas_interpret"])
     p.add_argument("--render-wav", metavar="PATH")
     p.add_argument("--npz", metavar="PATH", help="save settings history")
+    p.add_argument("--viz", metavar="PATH",
+                   help="render the final frame's traced hits + scene "
+                        "geometry to PNG (demo.visualize)")
     p.add_argument("--orbit", action="store_true",
                    help="listener orbits the origin (PlayerController stand-in)")
     args = p.parse_args()
@@ -222,6 +225,12 @@ def main():
     if args.render_wav:
         render_wav(loaded, history, args.render_wav, dt=args.dt)
         print(f"rendered {args.render_wav}", file=sys.stderr)
+    if args.viz:
+        from audio_raytracer_tpu.demo.visualize import plot_trace
+
+        plot_trace(loaded, args.viz, rays=max(loaded.cfg.ray_count, 256),
+                   backend=args.backend)
+        print(f"wrote {args.viz}", file=sys.stderr)
 
 
 if __name__ == "__main__":
