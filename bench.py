@@ -126,7 +126,9 @@ def _bench_fwd(args, cfg, scene, origin, dirs, backend):
                     "compact_unordered": True})
 
 
-def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
+def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend,
+                         metric="rays_per_s_per_chip_fwd_pipelined",
+                         extra=None):
     """Steady-state serving throughput: K frames dispatched back-to-back
     (the orchestrator's async production pattern,
     runtime/orchestrator.py) so host dispatch latency amortizes; wall
@@ -155,8 +157,10 @@ def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend):
         _drain(outs[-1])
         times.append((time.perf_counter() - t0) / K)
     dt = sorted(times)[len(times) // 2]
-    return _record("rays_per_s_per_chip_fwd_pipelined", args.rays / dt,
-                   {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K})
+    rec_extra = {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K}
+    if extra:
+        rec_extra.update(extra)
+    return _record(metric, args.rays / dt, rec_extra)
 
 
 def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
@@ -189,7 +193,7 @@ def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
     dt = _time_step(step, origin, dirs, scene, args.iters)
     return _record("rays_per_s_per_chip_fwd_reflife", args.rays / dt,
                    {"step_ms": round(dt * 1e3, 2), "max_ray_life": 125.0,
-                    "compact_rays": True})
+                    "compact_rays": True, "compact_unordered": True})
 
 
 def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
@@ -428,6 +432,16 @@ def main():
         # Same measurement order as a standalone --mode fwd run.
         fwd_recs.append(_bench_fwd_reflife(args, cfg, scene, origin, dirs,
                                            backend))
+        # Serving throughput at the reference's own ray budget (the
+        # production pairing: reference maxRayLife 125 + pipelined
+        # dispatch + unordered compaction).
+        import dataclasses as _dc
+
+        cfg_ref = _dc.replace(cfg, max_ray_life=125.0)
+        fwd_recs.append(_bench_fwd_pipelined(
+            args, cfg_ref, scene, origin, dirs, backend,
+            metric="rays_per_s_per_chip_fwd_reflife_pipelined",
+            extra={"max_ray_life": 125.0}))
         fwd_recs.append(_bench_fwd_pipelined(args, cfg, scene, origin,
                                              dirs, backend))
         fwd_recs.append(_bench_fwd(args, cfg, scene, origin, dirs, backend))

@@ -17,28 +17,41 @@ from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
 from audio_raytracer_tpu.types import TraceConfig
 
 CASES = [
-    # (ns, na, no, targets, rays, bounces, compact)
-    (0, 12, 0, 2, 97, 2, False),     # AABB-only, odd ray count
-    (7, 0, 0, 1, 33, 1, False),      # sphere-only, tiny
-    (0, 0, 9, 3, 130, 3, True),      # OBB-only, compaction
-    (1, 1, 1, 2, 64, 4, False),      # single prim of each type
-    (5, 9, 4, 0, 50, 2, False),      # ZERO targets (echo set only)
-    (6, 8, 6, 5, 201, 3, True),      # many targets, odd rays, compact
+    # (ns, na, no, targets, rays, bounces, compact, unordered)
+    (0, 12, 0, 2, 97, 2, False, False),   # AABB-only, odd ray count
+    (7, 0, 0, 1, 33, 1, False, False),    # sphere-only, tiny
+    (0, 0, 9, 3, 130, 3, True, False),    # OBB-only, compaction
+    (1, 1, 1, 2, 64, 4, False, False),    # single prim of each type
+    (5, 9, 4, 0, 50, 2, False, False),    # ZERO targets (echo set only)
+    (6, 8, 6, 5, 201, 3, True, False),    # many targets, odd rays, compact
+    (0, 0, 9, 3, 130, 3, True, True),     # unordered tier
+    (6, 8, 6, 5, 201, 3, True, True),     # unordered, many targets
+    (5, 9, 4, 0, 50, 2, True, True),      # unordered, ZERO targets
+    (0, 12, 0, 2, 97, 2, True, True),     # unordered, odd ray count
 ]
 
 
 def test_random_shape_parity():
-    for i, (ns, na, no, T, R, B, compact) in enumerate(CASES):
+    for i, (ns, na, no, T, R, B, compact, unordered) in enumerate(CASES):
         scene = random_scene(jax.random.key(100 + i), num_spheres=ns,
                              num_aabbs=na, num_obbs=no, num_targets=T,
                              extent=20.0, size_range=(1.0, 4.0))
         cfg = TraceConfig(ray_count=R, max_bounces=B, max_ray_life=80.0,
-                          num_accum_batches=2, compact_rays=compact)
+                          num_accum_batches=2, compact_rays=compact,
+                          compact_unordered=unordered)
         origin = jnp.asarray([0.3, -0.2, 0.1])
         dirs = fibonacci_directions(R)
         r_d, s_d = forward(origin, dirs, scene, cfg, backend="jnp")
         r_p, s_p = forward(origin, dirs, scene, cfg,
                            backend="pallas_interpret")
+        if unordered:
+            # The unordered tier permutes echo rows within each bounce
+            # column (by design); compare columns as multisets.
+            import dataclasses as _dc
+            r_p = _dc.replace(r_p, echo_distances=jnp.sort(
+                r_p.echo_distances, axis=0))
+            r_d = _dc.replace(r_d, echo_distances=jnp.sort(
+                r_d.echo_distances, axis=0))
         # Tolerance contract, not bit-equality: a closest-hit near-TIE
         # between two primitives can resolve differently under the
         # kernels' Newton-refined reciprocal (~1 ulp) vs XLA's divide,
