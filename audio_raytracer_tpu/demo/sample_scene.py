@@ -1,7 +1,9 @@
 """A built-in demo scene mirroring the shape of the reference's
 Sample Scene.unity: a walled room with interior boxes, rotated obstacles,
-spheres, two audio targets, and a moving platform that periodically
-occludes one target (the PlatformMover path)."""
+spheres, two audio targets, a moving platform that periodically occludes
+one target (the PlatformMover path), and an orbiting "radio" source —
+a moving AudioTargetRT whose position syncs every frame and audibly pans
+in the rendered WAV."""
 
 from __future__ import annotations
 
@@ -83,13 +85,10 @@ def sample_scene_dict(ray_count: int = 314, max_bounces: int = 4) -> dict:
              "waypoints": [[8, 1.5, 12], [16, 1.5, 12], [16, 1.5, 4],
                            [8, 1.5, 4]]},
             # The "radio" source orbits the room (a moving AudioTargetRT,
-            # AudioTargetRT.cs:53-62): the target position AND its owned
-            # collider ride the same waypoint loop, so the rendered WAV
-            # audibly pans as the source circles the listener.
+            # AudioTargetRT.cs:53-62); its owned collider rides along
+            # automatically, so the rendered WAV audibly pans as the
+            # source circles the listener.
             {"target": 0, "speed": 6.0,
-             "waypoints": [[12, 1.5, 12], [12, 1.5, -12], [-12, 1.5, -12],
-                           [-12, 1.5, 12]]},
-            {"collider": 14, "speed": 6.0,
              "waypoints": [[12, 1.5, 12], [12, 1.5, -12], [-12, 1.5, -12],
                            [-12, 1.5, 12]]},
         ],

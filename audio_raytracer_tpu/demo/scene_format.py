@@ -28,10 +28,10 @@ Schema (all sections optional except colliders/targets):
 A "target" animation moves an audio SOURCE (the AudioTargetRT.cs:53-62
 per-frame position sync, published via AudioTargetManager.cs:105-122):
 the new position feeds the muffle/permeation rays and comes back out as
-TargetSettings.perceived_position for the DSP pan. To move a source AND
-its owned collider together (a co-located AudioTargetRT + AudioCollider
-GameObject), declare both a "target" and a "collider" animation with the
-same waypoints.
+TargetSettings.perceived_position for the DSP pan. Colliders owned by
+the target ("target": idx on the collider) ride along automatically
+with their authored offset preserved — the co-located AudioTargetRT +
+AudioCollider GameObject moving as one transform.
 """
 
 from __future__ import annotations
@@ -118,11 +118,16 @@ class Animation:
 @dataclasses.dataclass
 class TargetAnimation:
     """Waypoint mover for an AUDIO TARGET (moving source): the
-    AudioTargetRT.cs:53-62 position sync, exercised per frame."""
+    AudioTargetRT.cs:53-62 position sync, exercised per frame. The
+    target's OWNED colliders move with it, offsets preserved (one
+    GameObject carrying both an AudioTargetRT and an AudioCollider)."""
 
     index: int  # target index
     waypoints: np.ndarray  # [K, 3]
     speed: float
+    # [(handle, kind, base_kwargs, offset [3])] for target-owned
+    # colliders; filled by build_registry.
+    owned: list = dataclasses.field(default_factory=list)
     _wp: int = 1
     position: np.ndarray | None = None
 
@@ -130,6 +135,14 @@ class TargetAnimation:
         self.position, self._wp = _advance_waypoints(
             self.position, self.waypoints, self._wp, self.speed, dt)
         registry.set_target_position(self.index, self.position)
+        for handle, kind, base, offset in self.owned:
+            center = self.position + offset
+            if kind == "sphere":
+                registry.update_sphere(handle, center, **base)
+            elif kind == "aabb":
+                registry.update_aabb(handle, center, **base)
+            else:
+                registry.update_obb(handle, center, **base)
 
 
 @dataclasses.dataclass
@@ -182,18 +195,28 @@ def build_registry(doc: dict) -> LoadedScene:
         else:
             raise ValueError(f"unknown collider type {kind!r}")
         handles.append(h)
-        collider_info.append((kind, base))
+        collider_info.append((kind, base, np.asarray(c["center"], float)))
 
+    target_positions = [np.asarray(t["position"], float)
+                        for t in doc.get("targets", [])]
     animations = []
     for a in doc.get("animations", []):
         waypoints = np.asarray(a["waypoints"], float)
         speed = float(a.get("speed", 2.0))
         if "target" in a:
+            ti = int(a["target"])
+            # The target's owned colliders ride along, authored offsets
+            # preserved (the co-located GameObject transform).
+            owned = [
+                (handles[i], kind, base, center - target_positions[ti])
+                for i, (kind, base, center) in enumerate(collider_info)
+                if base.get("target_id") == ti
+            ]
             animations.append(TargetAnimation(
-                index=int(a["target"]), waypoints=waypoints, speed=speed))
+                index=ti, waypoints=waypoints, speed=speed, owned=owned))
             continue
         idx = a["collider"]
-        kind, base = collider_info[idx]
+        kind, base, _ = collider_info[idx]
         animations.append(Animation(
             handle=handles[idx], kind=kind, base=base,
             waypoints=waypoints, speed=speed))

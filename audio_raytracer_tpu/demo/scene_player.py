@@ -228,8 +228,10 @@ def main():
     if args.viz:
         from audio_raytracer_tpu.demo.visualize import plot_trace
 
+        # Trace from where the listener ENDED (the scene geometry is
+        # already at its final animated state in the registry).
         plot_trace(loaded, args.viz, rays=max(loaded.cfg.ray_count, 256),
-                   backend=args.backend)
+                   backend=args.backend, listener=history["listener"][-1])
         print(f"wrote {args.viz}", file=sys.stderr)
 
 

@@ -109,8 +109,12 @@ def _bounce_ramp(H):
 
 
 def plot_trace(loaded, out_path: str, rays: int = 1024, trails: int = 48,
-               backend: str = "jnp"):
-    """Trace one frame with debug capture and render hits + trails."""
+               backend: str = "jnp", listener=None):
+    """Trace one frame with debug capture and render hits + trails.
+
+    ``listener``: trace origin override (default: the scene's authored
+    listener position). Pass the simulation's current listener when
+    visualizing after a run with a moving listener path."""
     import dataclasses
 
     import jax
@@ -125,14 +129,16 @@ def plot_trace(loaded, out_path: str, rays: int = 1024, trails: int = 48,
 
     cfg = dataclasses.replace(loaded.cfg, ray_count=rays)
     scene = loaded.registry.snapshot()
-    origin = jnp.asarray(loaded.listener_position, jnp.float32)
+    origin = jnp.asarray(
+        loaded.listener_position if listener is None else listener,
+        jnp.float32)
     dirs = fibonacci_directions(rays)
     result, settings = forward(origin, dirs, scene, cfg,
                                collect_debug=True, backend=backend)
 
     pts = np.asarray(result.hit_points)  # [R, H, 3]
-    mask = np.asarray(result.echo_distances) != 0  # proxy: visible echoes
-    hit_mask = np.asarray(result.hit_counts)[:, None] > np.arange(
+    hit_counts = np.asarray(result.hit_counts)  # [R]
+    hit_mask = hit_counts[:, None] > np.arange(
         pts.shape[1])[None, :]  # [R, H] true where the bounce happened
     H = pts.shape[1]
     ramp = _bounce_ramp(H)
@@ -153,7 +159,7 @@ def plot_trace(loaded, out_path: str, rays: int = 1024, trails: int = 48,
         # origin -> hit1 -> hit2 ... (the gizmo ray-trail drawing).
         stride = max(1, rays // max(trails, 1))
         for r in range(0, rays, stride):
-            n = int(np.asarray(result.hit_counts)[r])
+            n = int(hit_counts[r])
             if n == 0:
                 continue
             path = np.vstack([lis[None, :], pts[r, :n]])

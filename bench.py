@@ -157,7 +157,8 @@ def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend,
         _drain(outs[-1])
         times.append((time.perf_counter() - t0) / K)
     dt = sorted(times)[len(times) // 2]
-    rec_extra = {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K}
+    rec_extra = {"step_ms": round(dt * 1e3, 2), "pipeline_depth": K,
+                 "compact_rays": True, "compact_unordered": True}
     if extra:
         rec_extra.update(extra)
     return _record(metric, args.rays / dt, rec_extra)
@@ -428,33 +429,39 @@ def main():
     #   headline LAST (the driver parses the final JSON line as the
     #   round's representative metric).
     fwd_recs, bwd_recs = [], []
-    if args.mode in ("both", "fwd"):
-        # Same measurement order as a standalone --mode fwd run.
-        fwd_recs.append(_bench_fwd_reflife(args, cfg, scene, origin, dirs,
-                                           backend))
-        # Serving throughput at the reference's own ray budget (the
-        # production pairing: reference maxRayLife 125 + pipelined
-        # dispatch + unordered compaction).
-        import dataclasses as _dc
+    # A crash in a late lane must not discard the already-measured
+    # records: flush whatever was collected (aux first, headline last)
+    # before re-raising.
+    try:
+        if args.mode in ("both", "fwd"):
+            # Same measurement order as a standalone --mode fwd run.
+            fwd_recs.append(_bench_fwd_reflife(args, cfg, scene, origin,
+                                               dirs, backend))
+            # Serving throughput at the reference's own ray budget (the
+            # production pairing: reference maxRayLife 125 + pipelined
+            # dispatch + unordered compaction).
+            import dataclasses as _dc
 
-        cfg_ref = _dc.replace(cfg, max_ray_life=125.0)
-        fwd_recs.append(_bench_fwd_pipelined(
-            args, cfg_ref, scene, origin, dirs, backend,
-            metric="rays_per_s_per_chip_fwd_reflife_pipelined",
-            extra={"max_ray_life": 125.0}))
-        fwd_recs.append(_bench_fwd_pipelined(args, cfg, scene, origin,
-                                             dirs, backend))
-        fwd_recs.append(_bench_fwd(args, cfg, scene, origin, dirs, backend))
-    if args.mode == "both" or args.pose_grads:
-        bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
-                                       backend, pose_grads=True))
-    if args.mode in ("both", "fwd_bwd"):
-        bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
+            cfg_ref = _dc.replace(cfg, max_ray_life=125.0)
+            fwd_recs.insert(0, _bench_fwd_pipelined(
+                args, cfg_ref, scene, origin, dirs, backend,
+                metric="rays_per_s_per_chip_fwd_reflife_pipelined",
+                extra={"max_ray_life": 125.0}))
+            fwd_recs.insert(1, _bench_fwd_pipelined(args, cfg, scene,
+                                                    origin, dirs, backend))
+            fwd_recs.append(_bench_fwd(args, cfg, scene, origin, dirs,
                                        backend))
-    if args.mode == "both" and not args.no_scaling:
-        _spawn_cpu_scaling(args)
-    for rec in bwd_recs + fwd_recs:
-        print(json.dumps(rec), flush=True)
+        if args.mode == "both" or args.pose_grads:
+            bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
+                                           backend, pose_grads=True))
+        if args.mode in ("both", "fwd_bwd"):
+            bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
+                                           backend))
+        if args.mode == "both" and not args.no_scaling:
+            _spawn_cpu_scaling(args)
+    finally:
+        for rec in bwd_recs + fwd_recs:
+            print(json.dumps(rec), flush=True)
 
     print(f"# {args.rays} rays x {args.prims} prims x {args.bounces + 1} "
           f"hits x {args.targets} targets | backend {backend} | "

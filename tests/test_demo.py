@@ -24,9 +24,10 @@ class TestSceneFormat:
         assert counts[0] == 4  # spheres (2 + 2 target-owned)
         assert counts[1] == 10  # aabbs incl. platform
         assert counts[2] == 3
-        # Platform mover + the orbiting "radio" source (target + its
-        # owned collider on the same waypoint loop).
-        assert len(loaded.animations) == 3
+        # Platform mover + the orbiting "radio" source (whose owned
+        # collider rides the target animation automatically).
+        assert len(loaded.animations) == 2
+        assert len(loaded.animations[1].owned) == 1
         assert loaded.cfg.ray_count == 32
         loaded.registry.close()
 
@@ -166,6 +167,35 @@ class TestMovingTarget:
         np.testing.assert_allclose(pp[:, 2], 2.0, atol=1e-5)
         anim = loaded.animations[0]
         np.testing.assert_allclose(anim.position, [10, 0, 2], atol=1e-5)
+        loaded.registry.close()
+
+    def test_owned_collider_rides_target_animation(self):
+        # A target-owned collider authored at an OFFSET from its target
+        # must track the moving source with that offset preserved (the
+        # co-located GameObject transform moving both components).
+        doc = {
+            "trace": {"ray_count": 16, "max_bounces": 1},
+            "colliders": [
+                {"type": "sphere", "center": [1.0, 0.5, 2.0],
+                 "radius": 0.4, "target": 0},
+            ],
+            "targets": [{"position": [0.0, 0.0, 2.0]}],
+            "animations": [
+                {"target": 0, "speed": 4.0,
+                 "waypoints": [[0, 0, 2], [8, 0, 2]]},
+            ],
+        }
+        loaded = build_registry(doc)
+        anim = loaded.animations[0]
+        assert len(anim.owned) == 1
+        for _ in range(4):  # 4 steps x 4 u/s x 0.5 s = reaches [8,0,2]
+            anim.step(loaded.registry, 0.5)
+        scene = loaded.registry.snapshot()
+        np.testing.assert_allclose(np.asarray(scene.target_positions[0]),
+                                   [8, 0, 2], atol=1e-5)
+        # Collider center = target position + authored offset [1,.5,0].
+        np.testing.assert_allclose(np.asarray(scene.spheres.center[0]),
+                                   [9, 0.5, 2], atol=1e-5)
         loaded.registry.close()
 
     def test_wav_pans_left_to_right(self, tmp_path):
