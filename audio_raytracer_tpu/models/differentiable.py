@@ -223,15 +223,32 @@ def loudness_loss(params: SceneParams, scene: Scene, origin, directions,
     return loss
 
 
-def make_train_step(cfg: TraceConfig, optimizer=None):
-    """Jitted single-device training step (full backward)."""
+def make_train_step(cfg: TraceConfig, optimizer=None,
+                    backend: str = "jnp", pose_grads: bool = False):
+    """Jitted single-device training step (full backward).
+
+    ``backend``: "jnp" (XLA dense) or "pallas"/"pallas_interpret" (the
+    differentiable kernel tier — custom-VJP chord adjoints; set
+    ``pose_grads`` when the loss also differentiates w.r.t. poses)."""
     if optimizer is None:
         optimizer = optax.adam(1e-2)
+
+    backend_fn = None
+    if backend in ("pallas", "pallas_interpret"):
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+        def backend_fn(s):
+            return make_pallas_backend(
+                s, interpret=(backend == "pallas_interpret"),
+                differentiable=True, pose_grads=pose_grads)
+    elif backend != "jnp":
+        raise ValueError(f"unknown backend {backend!r}")
 
     @jax.jit
     def train_step(params, opt_state, scene, origin, directions, target):
         loss, grads = jax.value_and_grad(loudness_loss)(
-            params, scene, origin, directions, cfg, target)
+            params, scene, origin, directions, cfg, target,
+            backend_fn=backend_fn)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -245,6 +245,37 @@ class TestVisualize:
         loaded.registry.close()
 
 
+class TestTrainMaterialsCLI:
+    """The material-calibration CLI (BASELINE config 4 as a tool):
+    loss must descend, the summary JSON must parse, and --resume must
+    continue from the checkpointed step."""
+
+    def test_trains_and_resumes(self, tmp_path, monkeypatch, capsys):
+        import runpy
+        import sys
+
+        ck = str(tmp_path / "ck")
+        base = ["train_materials", "--steps", "6", "--rays", "64",
+                "--init", "noisy", "--log-every", "3", "--ckpt-every",
+                "3", "--checkpoint", ck]
+        monkeypatch.setattr(sys, "argv", base)
+        runpy.run_module("audio_raytracer_tpu.demo.train_materials",
+                         run_name="__main__")
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["final_loss"] < 0.1
+        assert set(out1["material_mae"]) == {"absorption", "density",
+                                             "echo"}
+
+        monkeypatch.setattr(sys, "argv",
+                            base[:2] + ["12"] + base[3:] + ["--resume"])
+        runpy.run_module("audio_raytracer_tpu.demo.train_materials",
+                         run_name="__main__")
+        captured = capsys.readouterr()
+        assert "resumed from step 6" in captured.err
+        out2 = json.loads(captured.out.strip().splitlines()[-1])
+        assert out2["final_loss"] <= out1["final_loss"] * 1.5  # kept going
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         from audio_raytracer_tpu.models.differentiable import SceneParams
