@@ -73,6 +73,39 @@ def _emit(metric, rays_per_s, extra=None):
     print(json.dumps(_record(metric, rays_per_s, extra)), flush=True)
 
 
+def _selfcheck(backend):
+    """Refuse to post perf records from a silently-broken kernel tier:
+    before timing, the kernel engines must agree with the jnp dense
+    forward on a small workload (fuzz-test tolerances — razor-edge
+    reciprocal-vs-divide lanes may flip, structure may not)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_raytracer_tpu.models.raytracer import forward, random_scene
+    from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+    from audio_raytracer_tpu.types import TraceConfig
+
+    cfg = TraceConfig(ray_count=4096, max_bounces=3, max_ray_life=150.0,
+                      compact_rays=True, compact_unordered=True)
+    scene = random_scene(jax.random.key(7), num_spheres=32, num_aabbs=64,
+                         num_obbs=32, num_targets=4, extent=40.0,
+                         size_range=(0.5, 4.0))
+    o = jnp.zeros(3)
+    d = fibonacci_directions(cfg.ray_count)
+    _, s_ref = forward(o, d, scene, cfg, backend="jnp")
+    _, s_be = forward(o, d, scene, cfg, backend=backend)
+    np.testing.assert_allclose(np.asarray(s_ref.muffle),
+                               np.asarray(s_be.muffle), rtol=1e-3,
+                               atol=5e-3)
+    np.testing.assert_allclose(float(s_ref.reverb_volume),
+                               float(s_be.reverb_volume), rtol=1e-3,
+                               atol=2e-3)
+    print(f"# selfcheck ok: {backend} == jnp on 4096x128 "
+          f"(muffle {np.asarray(s_be.muffle).round(3).tolist()})",
+          file=sys.stderr)
+
+
 def _build_inputs(args):
     import jax
     import jax.numpy as jnp
@@ -413,6 +446,9 @@ def main():
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
 
     cfg, scene, origin, dirs = _build_inputs(args)
+
+    if backend != "jnp" and not args.mesh:
+        _selfcheck(backend)
 
     if args.mesh:
         _bench_mesh(args, cfg, scene, origin, dirs, backend)
