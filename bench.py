@@ -181,7 +181,7 @@ def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend,
         return settings
 
     _drain(step(origin, dirs, scene))  # warmup / compile
-    K = 5
+    K = 8  # deep enough that the one drain round-trip amortizes to <2%
     times = []
     for trial in range(max(2, args.iters // 2)):
         t0 = time.perf_counter()
