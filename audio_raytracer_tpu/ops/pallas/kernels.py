@@ -68,6 +68,10 @@ round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
   +125 ms/set) — but SPLITTING loses outright because each split
   kernel re-pays the ~150 ms base primitive stream: 4 x S=1 kernels
   ~888 ms, 2 x S=2 ~596 ms, vs 548 fused. Don't re-try the split.
+  Also measured: the fwd+bwd step is RAY-LIFE-INDEPENDENT (1568 ms at
+  maxRayLife 300 vs 1569 at 125) — the life-independent chord forward
+  + adjoint + linearization dominate, so the early-death work savings
+  that buy 10%+ on inference do not transfer to training.
 - Per-primitive culling via lax.cond is a NET LOSS: the fused occlusion
   kernels support a sound convergence-hull cull (every ray set ends at
   one point, so a scalar AABB(block-origin-box u point) test can skip a
