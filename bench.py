@@ -15,11 +15,13 @@ is measured rays/s against that envelope.
 
 --mesh RxP runs the shard_map'd forward over an R x P ('rays','prims')
 device mesh and reports rays/s plus scaling efficiency vs the single
--device run (uses the available devices; for multi-device scaling on this
-single-chip box run under JAX_PLATFORMS=cpu
-XLA_FLAGS=--xla_force_host_platform_device_count=N). The default run also
-spawns one small CPU-mesh subprocess to record an 8-device scaling
--efficiency number alongside the chip numbers (--no-scaling to skip).
+-device run AND vs a collectives-elided variant of the identical step
+(the overhead decomposition; see BASELINE.md). For multi-device scaling
+on this single-chip box run under JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=N. The default run
+also spawns three CPU-mesh subprocesses — 8x1, 4x2, and a kernel-tier
+8x1 — recording 8-virtual-device scaling records alongside the chip
+numbers (--no-scaling to skip).
 """
 
 from __future__ import annotations
