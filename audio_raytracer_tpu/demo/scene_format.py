@@ -8,7 +8,8 @@ Schema (all sections optional except colliders/targets):
 
 {
   "trace":     {TraceConfig fields...},
-  "listener":  {"position": [x,y,z]},
+  "listener":  {"position": [x,y,z],
+                "waypoints": [[..],[..]]?, "speed": units_per_second?},
   "materials": {"name": {"absorption": a, "density": d, "echo": e}, ...},
   "colliders": [
     {"type": "aabb",   "center": [..], "half_extents": [..],
@@ -32,6 +33,16 @@ TargetSettings.perceived_position for the DSP pan. Colliders owned by
 the target ("target": idx on the collider) ride along automatically
 with their authored offset preserved — the co-located AudioTargetRT +
 AudioCollider GameObject moving as one transform.
+
+"listener.waypoints" gives the LISTENER a scripted movement path (the
+PlayerController.cs:6-81 analog for a headless framework: authored
+waypoints instead of live input), using the same mover semantics as
+collider/target animations.
+
+Documents are schema-validated up front (demo/scene_schema.py): unknown
+keys, unknown material names, and out-of-range values raise a
+path-precise SceneValidationError before any registry state exists —
+the authoring-failsafe class of AudioCollider.cs:95-118.
 """
 
 from __future__ import annotations
@@ -76,16 +87,30 @@ def _resolve_material(spec, materials):
 
 def _advance_waypoints(position, waypoints, wp: int, speed: float,
                        dt: float):
-    """One waypoint-mover step (PlatformMover.cs:18-27 semantics):
-    advance toward waypoint ``wp`` at ``speed`` units/sec, looping.
-    Returns (new_position, new_wp)."""
-    if position is None:
-        position = np.asarray(waypoints[0], float).copy()
+    """One waypoint-mover step (PlatformMover.cs:18-27 semantics): move
+    from the CURRENT position toward waypoint ``wp`` at ``speed``
+    units/sec, looping over the waypoint list (posId.IncrementSmart).
+    The mover starts from the object's authored position, exactly like
+    the reference platform's transform; a single-waypoint list is valid
+    (move there, then hold). Returns (new_position, new_wp)."""
+    position = np.asarray(position, float).copy()
+    wp %= len(waypoints)
     target = np.asarray(waypoints[wp], float)
     delta = target - position
     dist = float(np.linalg.norm(delta))
+    if dist == 0.0:
+        # Already at the waypoint (e.g. authored position == first
+        # waypoint): advance the index and spend this frame's movement
+        # budget on the next leg, so authored-on-path movers don't lose
+        # a frame.
+        wp = (wp + 1) % len(waypoints)
+        target = np.asarray(waypoints[wp], float)
+        delta = target - position
+        dist = float(np.linalg.norm(delta))
+        if dist == 0.0:  # all waypoints coincide with the position
+            return position, wp
     move = speed * dt
-    if dist <= move or dist == 0.0:
+    if dist <= move:
         return target.copy(), (wp + 1) % len(waypoints)
     return position + delta / dist * move, wp
 
@@ -100,10 +125,15 @@ class Animation:
     base: dict  # the collider's non-positional parameters
     waypoints: np.ndarray  # [K, 3]
     speed: float
-    _wp: int = 1
+    # Current position; build_registry seeds it with the collider's
+    # AUTHORED center (the reference platform moves from its transform
+    # position, not from waypoints[0]).
     position: np.ndarray | None = None
+    _wp: int = 0
 
     def step(self, registry: SceneRegistry, dt: float):
+        if self.position is None:
+            self.position = np.asarray(self.waypoints[0], float).copy()
         self.position, self._wp = _advance_waypoints(
             self.position, self.waypoints, self._wp, self.speed, dt)
         kw = dict(self.base)
@@ -128,10 +158,13 @@ class TargetAnimation:
     # [(handle, kind, base_kwargs, offset [3])] for target-owned
     # colliders; filled by build_registry.
     owned: list = dataclasses.field(default_factory=list)
-    _wp: int = 1
+    # Seeded with the target's AUTHORED position by build_registry.
     position: np.ndarray | None = None
+    _wp: int = 0
 
     def step(self, registry: SceneRegistry, dt: float):
+        if self.position is None:
+            self.position = np.asarray(self.waypoints[0], float).copy()
         self.position, self._wp = _advance_waypoints(
             self.position, self.waypoints, self._wp, self.speed, dt)
         registry.set_target_position(self.index, self.position)
@@ -146,6 +179,27 @@ class TargetAnimation:
 
 
 @dataclasses.dataclass
+class ListenerAnimation:
+    """Waypoint mover for the LISTENER: the scripted stand-in for the
+    reference's input-driven PlayerController (PlayerController.cs:6-81)
+    — same mover semantics as the platform/target animations, no
+    registry side effects (the listener is a per-frame trace input, not
+    scene state)."""
+
+    waypoints: np.ndarray  # [K, 3]
+    speed: float
+    position: np.ndarray | None = None
+    _wp: int = 0
+
+    def step(self, dt: float) -> np.ndarray:
+        if self.position is None:
+            self.position = np.asarray(self.waypoints[0], float).copy()
+        self.position, self._wp = _advance_waypoints(
+            self.position, self.waypoints, self._wp, self.speed, dt)
+        return self.position
+
+
+@dataclasses.dataclass
 class LoadedScene:
     registry: SceneRegistry
     cfg: TraceConfig
@@ -153,10 +207,19 @@ class LoadedScene:
     animations: list[Animation]
     target_names: list[str]
     handles: list[int]
+    # Scripted listener path from "listener.waypoints" (None = static).
+    listener_animation: ListenerAnimation | None = None
 
 
 def build_registry(doc: dict) -> LoadedScene:
-    """Instantiate a scene document into a live SceneRegistry."""
+    """Instantiate a scene document into a live SceneRegistry.
+
+    The document is schema-validated first (scene_schema.py); malformed
+    input raises SceneValidationError without touching registry state.
+    """
+    from audio_raytracer_tpu.demo.scene_schema import validate_scene_doc
+
+    validate_scene_doc(doc)
     registry = SceneRegistry()
     materials = doc.get("materials", {})
 
@@ -213,20 +276,28 @@ def build_registry(doc: dict) -> LoadedScene:
                 if base.get("target_id") == ti
             ]
             animations.append(TargetAnimation(
-                index=ti, waypoints=waypoints, speed=speed, owned=owned))
+                index=ti, waypoints=waypoints, speed=speed, owned=owned,
+                position=target_positions[ti].copy()))
             continue
         idx = a["collider"]
-        kind, base, _ = collider_info[idx]
+        kind, base, center = collider_info[idx]
         animations.append(Animation(
             handle=handles[idx], kind=kind, base=base,
-            waypoints=waypoints, speed=speed))
+            waypoints=waypoints, speed=speed, position=center.copy()))
 
-    listener = np.asarray(
-        doc.get("listener", {}).get("position", [0, 0, 0]), float)
+    listener_doc = doc.get("listener", {})
+    listener = np.asarray(listener_doc.get("position", [0, 0, 0]), float)
+    listener_anim = None
+    if "waypoints" in listener_doc:
+        listener_anim = ListenerAnimation(
+            waypoints=np.asarray(listener_doc["waypoints"], float),
+            speed=float(listener_doc.get("speed", 2.0)),
+            position=listener.copy())
 
     return LoadedScene(registry=registry, cfg=cfg,
                        listener_position=listener, animations=animations,
-                       target_names=target_names, handles=handles)
+                       target_names=target_names, handles=handles,
+                       listener_animation=listener_anim)
 
 
 def load_scene_file(path: str) -> LoadedScene:

@@ -24,11 +24,19 @@ import numpy as np
 
 
 def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
-             listener_path=None, verbose=True):
+             listener_path=None, verbose=True, viz_every=0,
+             viz_path=None):
     """Run the frame loop; returns per-frame settings history.
 
     listener_path: optional callable t -> [3] position (the
-    PlayerController analog; default stationary listener).
+    PlayerController analog). Falls back to the scene's
+    "listener.waypoints" scripted path (scene_format.ListenerAnimation)
+    when present, else a stationary listener.
+
+    viz_every: dump a gizmo-layer PNG of the live scene every N frames
+    (the in-loop equivalent of the reference's editor gizmos drawing
+    WHILE the sim runs, Audio/AudioRayTracer.cs:291-355); frame index is
+    appended to ``viz_path`` (default "frame.png" -> frame_0042.png).
     """
     import jax
 
@@ -36,6 +44,11 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
 
     loop = AsyncRaytraceLoop(loaded.registry, loaded.cfg, backend=backend,
                              compute_async=False)
+    if listener_path is None and loaded.listener_animation is not None:
+        anim = loaded.listener_animation
+
+        def listener_path(_t, _anim=anim, _dt=dt):
+            return _anim.step(_dt)
     T = len(loaded.target_names)
     n_bins = loaded.cfg.num_reverb_bins
     history = dict(muffle=np.zeros((frames, T)),
@@ -73,6 +86,16 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
                 loaded.registry.snapshot().target_positions)
         history["listener"][f] = np.asarray(pos)
         history["frame_ms"][f] = (time.perf_counter() - t0) * 1e3
+        if viz_every and f % viz_every == 0:
+            from audio_raytracer_tpu.demo.visualize import plot_trace
+
+            base = viz_path or "frame.png"
+            root, dot, ext = base.rpartition(".")
+            out = f"{root or ext}_{f:04d}.{ext if dot else 'png'}"
+            plot_trace(loaded, out, rays=min(loaded.cfg.ray_count, 256),
+                       backend=backend, listener=pos)
+            if verbose:
+                print(f"frame {f:4d}: wrote {out}", file=sys.stderr)
         if verbose and f % max(1, frames // 10) == 0:
             m = history["muffle"][f]
             print(f"frame {f:4d}: muffle={np.round(m, 3)} "
@@ -182,6 +205,10 @@ def main():
     p.add_argument("--viz", metavar="PATH",
                    help="render the final frame's traced hits + scene "
                         "geometry to PNG (demo.visualize)")
+    p.add_argument("--viz-every", type=int, default=0, metavar="N",
+                   help="ALSO dump a gizmo PNG every N frames while the "
+                        "sim runs (live view; frame index appended to "
+                        "the --viz path)")
     p.add_argument("--orbit", action="store_true",
                    help="listener orbits the origin (PlayerController stand-in)")
     args = p.parse_args()
@@ -204,7 +231,8 @@ def main():
                 [6.0 * np.sin(0.5 * t), 0.0, 6.0 * np.cos(0.5 * t)])
 
     history = simulate(loaded, frames=args.frames, dt=args.dt,
-                       backend=args.backend, listener_path=listener_path)
+                       backend=args.backend, listener_path=listener_path,
+                       viz_every=args.viz_every, viz_path=args.viz)
 
     print(json.dumps({
         "frames": args.frames,

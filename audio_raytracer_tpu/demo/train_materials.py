@@ -27,20 +27,24 @@ import sys
 import numpy as np
 
 
-def _material_errors(params, truth):
-    """Mean |learned - authored| per material field, active prims only."""
-    import jax
+def _material_errors(params, truth, active_counts=None):
+    """Mean |learned - authored| per material field, ACTIVE prims only.
 
+    ``active_counts``: {"sphere": n, "aabb": n, "obb": n} pre-pad counts
+    captured before pad_scene_for_prim_shards — mesh runs pad each
+    primitive type with inactive entries whose params start equal to
+    truth and receive zero gradient, so averaging over them would dilute
+    the reported MAE relative to the same run without --mesh."""
     errs = {}
     for field in ("absorption", "density", "echo"):
         num, den = 0.0, 0
         for tname in ("sphere", "aabb", "obb"):
             a = np.asarray(getattr(getattr(params, tname), field))
             b = np.asarray(getattr(getattr(truth, tname), field))
-            num += np.abs(a - b).sum()
-            den += a.size
+            n = a.size if active_counts is None else active_counts[tname]
+            num += np.abs(a[:n] - b[:n]).sum()
+            den += n
         errs[field] = float(num / max(den, 1))
-    del jax
     return errs
 
 
@@ -123,6 +127,8 @@ def main():
         params = SceneParams(sphere=noisy(truth.sphere),
                              aabb=noisy(truth.aabb), obb=noisy(truth.obb))
 
+    active_counts = {"sphere": scene.spheres.count,
+                     "aabb": scene.aabbs.count, "obb": scene.obbs.count}
     optimizer = optax.adam(args.lr)
     if args.mesh:
         from audio_raytracer_tpu.parallel.mesh import (
@@ -177,7 +183,7 @@ def main():
                             {"params": params, "opt_state": opt_state,
                              "step": jnp.asarray(i + 1)})
 
-    errs = _material_errors(params, truth)
+    errs = _material_errors(params, truth, active_counts)
     print(json.dumps({
         "steps": args.steps,
         "final_loss": float(loss),
