@@ -97,12 +97,17 @@ def make_local_engine(scene_local, backend: str, differentiable=False):
 def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
                          return_result: bool = False,
                          backend: str = "jnp",
-                         elide_collectives: bool = False):
+                         elide_collectives: bool = False,
+                         return_ir: bool = False):
     """Build the jitted sharded forward step.
 
     Returns ``step(origin, directions, scene) -> TargetSettings`` (or
     ``(TraceResult, TargetSettings)`` with per-shard accumulator rows
-    gathered on axis 0 when ``return_result``).
+    gathered on axis 0 when ``return_result``; or
+    ``(TargetSettings, reverb_ir)`` when ``return_ir`` — the serving
+    shape AsyncRaytraceLoop harvests, with the IR already psum-reduced
+    over the ray axis and replicated; a [0]-shaped placeholder when
+    ``cfg.num_reverb_bins == 0``).
 
     ``backend`` selects the per-shard intersection engine: "jnp" or
     "pallas" (each device streams its ray/primitive shard through the
@@ -125,7 +130,8 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
     prim_shards = mesh.shape["prims"]
     assert cfg.ray_count % ray_shards == 0, (
         f"ray_count {cfg.ray_count} not divisible by {ray_shards} ray shards")
-    assert not (elide_collectives and return_result)
+    assert not (elide_collectives and (return_result or return_ir))
+    assert not (return_result and return_ir)
     local_cfg = dataclasses.replace(cfg, num_accum_batches=1)
     prim_sharded = prim_shards > 1
     # The pallas paths mix varying/unvarying values inside kernel traces
@@ -182,6 +188,10 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
             cfg, cfg.ray_count, cfg.max_hits_per_ray)
         if return_result:
             return result, settings
+        if return_ir:
+            ir = (result.reverb_ir if cfg.num_reverb_bins > 0
+                  else jnp.zeros((0,), echo.dtype))
+            return settings, ir
         return settings
 
     out_result_spec = TraceResult(
@@ -193,7 +203,12 @@ def make_sharded_forward(cfg: TraceConfig, mesh: jax.sharding.Mesh,
         hit_points=None,
         hit_counts=None,
     )
-    out_specs = (out_result_spec, P()) if return_result else P()
+    if return_result:
+        out_specs = (out_result_spec, P())
+    elif return_ir:
+        out_specs = (P(), P())
+    else:
+        out_specs = P()
 
     f = jax.shard_map(
         local_step,

@@ -64,10 +64,21 @@ class AsyncRaytraceLoop:
     """
 
     def __init__(self, registry, cfg: TraceConfig, backend: str = "jnp",
-                 compute_async: bool = True):
+                 compute_async: bool = True,
+                 mesh: "jax.sharding.Mesh | None" = None):
+        """``mesh``: drive the live loop over a ('rays', 'prims') device
+        mesh instead of a single device — the serving composition of the
+        orchestrator and the parallel tier (the reference's driver runs
+        the WHOLE job system, Audio/AudioRayTracer.cs:92-238; this is
+        its multi-chip analog). The step is built via
+        parallel.sharded.make_sharded_forward and every registry
+        snapshot is padded so each primitive type divides evenly over
+        the 'prims' axis (pad_scene_for_prim_shards); registry
+        mutations flow through mid-run exactly as on one device."""
         self.registry = registry
         self.compute_async = compute_async
         self._backend = backend
+        self.mesh = mesh
         self._adopt_config(cfg)
         self._in_flight = None
         self._sentinel = None
@@ -88,6 +99,26 @@ class AsyncRaytraceLoop:
         self.cfg = cfg
         self._directions = fibonacci_directions(cfg.ray_count)
         backend = self._backend
+
+        if self.mesh is not None:
+            import dataclasses
+
+            from audio_raytracer_tpu.parallel.sharded import (
+                make_sharded_forward,
+            )
+
+            ray_shards = self.mesh.shape["rays"]
+            assert cfg.ray_count % ray_shards == 0, (
+                f"ray_count {cfg.ray_count} not divisible by "
+                f"{ray_shards} ray shards")
+            # Each ray shard is one accumulation batch, exactly the
+            # reference's per-thread-batch accumulator rows.
+            cfg_m = dataclasses.replace(cfg,
+                                        num_accum_batches=ray_shards)
+            self._step = make_sharded_forward(cfg_m, self.mesh,
+                                              backend=backend,
+                                              return_ir=True)
+            return
 
         def step(origin, directions, scene):
             result, settings = forward(origin, directions, scene, cfg,
@@ -125,6 +156,8 @@ class AsyncRaytraceLoop:
             if not self.compute_async:
                 self._sentinel.wait()
             self._latest, self.reverb_ir = self._in_flight
+            if self.reverb_ir is not None and self.reverb_ir.size == 0:
+                self.reverb_ir = None  # meshed step's disabled-IR shape
             self._in_flight = None
             self.frames_harvested += 1
             if self._sentinel.elapsed_ms is not None:
@@ -134,6 +167,13 @@ class AsyncRaytraceLoop:
         # 2. Publish scene mutations (UpdateJobBatch, cs:154-155).
         t0 = time.perf_counter()
         scene = self.registry.snapshot()
+        if self.mesh is not None:
+            from audio_raytracer_tpu.parallel.mesh import (
+                pad_scene_for_prim_shards,
+            )
+
+            scene = pad_scene_for_prim_shards(scene,
+                                              self.mesh.shape["prims"])
         self.batch_cycle_ms = (time.perf_counter() - t0) * 1e3
 
         # 3. Dispatch (async; XLA queues the fork-join graph).
