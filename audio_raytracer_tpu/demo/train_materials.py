@@ -16,6 +16,15 @@ Usage:
       --checkpoint /tmp/calib --mesh 4x2
 Prints a JSON summary line; with --checkpoint, training is resumable
 (params + optimizer moments + step counter round-trip, --resume).
+
+--recover-pose switches from materials to POSES (the north star's
+"gradients flow to source/listener poses", made useful):
+  --recover-pose source    perturb the audio-target positions, then
+      triangulate them back from loudness recordings at several known
+      listener positions (models.differentiable.make_source_recovery_step)
+  --recover-pose listener  perturb the listener origin, then recover it
+      from one recording with the IR histogram enabled (distance
+      -resolved observables; make_pose_recovery_step)
 """
 
 from __future__ import annotations
@@ -48,6 +57,104 @@ def _material_errors(params, truth, active_counts=None):
     return errs
 
 
+def _recover_pose(args):
+    """--recover-pose driver: perturb poses with a seeded offset, then
+    recover them by gradient descent through the chord/echo paths."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_raytracer_tpu.demo.sample_scene import sample_scene_dict
+    from audio_raytracer_tpu.demo.scene_format import (
+        build_registry,
+        load_scene_file,
+    )
+    from audio_raytracer_tpu.models.differentiable import (
+        PoseParams,
+        loudness_map,
+        make_pose_recovery_step,
+        make_source_recovery_step,
+        stack_loudness,
+    )
+    from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+
+    loaded = (load_scene_file(args.scene) if args.scene
+              else build_registry(sample_scene_dict()))
+    scene = loaded.registry.snapshot()
+    cfg = dataclasses.replace(loaded.cfg, ray_count=args.rays)
+    origin = jnp.asarray(loaded.listener_position, jnp.float32)
+    dirs = fibonacci_directions(args.rays)
+    key = jax.random.key(args.seed)
+    true_tp = scene.target_positions
+
+    if args.recover_pose == "source":
+        # Recordings at the authored listener + 3 offset vantage points
+        # (acoustic triangulation; one vantage point is unobservable —
+        # see make_source_recovery_step).
+        origins = jnp.stack([
+            origin,
+            origin + jnp.asarray([5.0, 0.5, -3.0]),
+            origin + jnp.asarray([-5.0, 1.0, 3.0]),
+            origin + jnp.asarray([2.0, 0.0, -6.0]),
+        ])
+        recs = stack_loudness([
+            loudness_map(origins[i], dirs, scene, cfg)
+            for i in range(origins.shape[0])])
+        tp = true_tp + args.pose_perturbation * jax.random.normal(
+            key, true_tp.shape)
+        step, opt = make_source_recovery_step(
+            cfg, num_listeners=origins.shape[0],
+            optimizer=optax.adam(args.lr), backend=args.backend)
+        opt_state = opt.init(tp)
+        err0 = float(jnp.linalg.norm(tp - true_tp, axis=-1).mean())
+        loss = float("nan")
+        for i in range(args.steps):
+            tp, opt_state, loss = step(tp, opt_state, scene, origins,
+                                       dirs, recs)
+            if i % args.log_every == 0 or i == args.steps - 1:
+                err = float(jnp.linalg.norm(tp - true_tp, axis=-1).mean())
+                print(f"step {i:4d}: loss {float(loss):.3e} "
+                      f"pose_err {err:.4f}", file=sys.stderr)
+        err1 = float(jnp.linalg.norm(tp - true_tp, axis=-1).mean())
+    else:  # listener
+        # One recording, IR histogram on (distance-resolved bins make
+        # the origin well-determined).
+        if cfg.num_reverb_bins == 0:
+            cfg = dataclasses.replace(cfg, num_reverb_bins=48,
+                                      ir_max_distance=cfg.max_ray_life)
+        rec = loudness_map(origin, dirs, scene, cfg)
+        pose = PoseParams(
+            origin=origin + args.pose_perturbation * jax.random.normal(
+                key, (3,)),
+            target_positions=true_tp)
+        step, opt = make_pose_recovery_step(
+            cfg, optimizer=optax.adam(args.lr), backend=args.backend,
+            recover=("origin",))
+        opt_state = opt.init(pose)
+        err0 = float(jnp.linalg.norm(pose.origin - origin))
+        loss = float("nan")
+        for i in range(args.steps):
+            pose, opt_state, loss = step(pose, opt_state, scene, dirs,
+                                         rec)
+            if i % args.log_every == 0 or i == args.steps - 1:
+                err = float(jnp.linalg.norm(pose.origin - origin))
+                print(f"step {i:4d}: loss {float(loss):.3e} "
+                      f"pose_err {err:.4f}", file=sys.stderr)
+        err1 = float(jnp.linalg.norm(pose.origin - origin))
+
+    print(json.dumps({
+        "mode": f"recover_pose_{args.recover_pose}",
+        "steps": args.steps,
+        "final_loss": float(loss),
+        "pose_error_initial": round(err0, 4),
+        "pose_error_final": round(err1, 4),
+        "backend": args.backend,
+    }))
+    loaded.registry.close()
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", help="scene JSON (default: built-in sample)")
@@ -70,7 +177,16 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="restore from --checkpoint and continue")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--recover-pose", choices=["source", "listener"],
+                   help="recover poses instead of materials (see module "
+                        "docstring)")
+    p.add_argument("--pose-perturbation", type=float, default=0.8,
+                   help="seeded perturbation magnitude for --recover-pose")
     args = p.parse_args()
+
+    if args.recover_pose:
+        _recover_pose(args)
+        return
 
     import dataclasses
 

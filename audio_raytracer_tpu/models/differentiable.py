@@ -207,6 +207,15 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
 # ---------------------------------------------------------------------------
 
 
+def _loudness_mse(pred: Loudness, target: Loudness) -> Array:
+    loss = (jnp.mean((pred.muffle - target.muffle) ** 2)
+            + jnp.mean((pred.permeation - target.permeation) ** 2)
+            + (pred.reverb_energy - target.reverb_energy) ** 2)
+    if pred.reverb_ir is not None and target.reverb_ir is not None:
+        loss = loss + jnp.mean((pred.reverb_ir - target.reverb_ir) ** 2)
+    return loss
+
+
 def loudness_loss(params: SceneParams, scene: Scene, origin, directions,
                   cfg: TraceConfig, target: Loudness, backend_fn=None,
                   axis_name=None, total_ray_count=None) -> Array:
@@ -215,12 +224,7 @@ def loudness_loss(params: SceneParams, scene: Scene, origin, directions,
     backend = backend_fn(full_scene) if backend_fn else None
     pred = loudness_map(origin, directions, full_scene, cfg, backend=backend,
                         axis_name=axis_name, total_ray_count=total_ray_count)
-    loss = (jnp.mean((pred.muffle - target.muffle) ** 2)
-            + jnp.mean((pred.permeation - target.permeation) ** 2)
-            + (pred.reverb_energy - target.reverb_energy) ** 2)
-    if pred.reverb_ir is not None and target.reverb_ir is not None:
-        loss = loss + jnp.mean((pred.reverb_ir - target.reverb_ir) ** 2)
-    return loss
+    return _loudness_mse(pred, target)
 
 
 def make_train_step(cfg: TraceConfig, optimizer=None,
@@ -254,3 +258,142 @@ def make_train_step(cfg: TraceConfig, optimizer=None,
         return params, opt_state, loss
 
     return train_step, optimizer
+
+
+# ---------------------------------------------------------------------------
+# Pose recovery: optimize source / listener positions from a recording
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class PoseParams:
+    """The learnable pose pytree: listener origin + audio-source
+    positions. The north star's "gradients flow to source/listener
+    poses" made USEFUL: given a target loudness map (the "recording"),
+    gradient descent recovers where the sources / the listener actually
+    were. Pose tangents ride hit distances, echo distances, and
+    permeation chord lengths (piecewise-smooth a.e.); discrete
+    selections are straight-through, as in loudness_map."""
+
+    origin: Array  # [3] listener position
+    target_positions: Array  # [T, 3] audio-source positions
+
+
+def pose_loss(pose: PoseParams, scene: Scene, directions,
+              cfg: TraceConfig, target: Loudness, backend_fn=None,
+              axis_name=None, total_ray_count=None) -> Array:
+    """MSE between the loudness map traced AT ``pose`` and the target
+    map; materials stay fixed at the scene's authored values."""
+    scene_p = dataclasses.replace(scene,
+                                  target_positions=pose.target_positions)
+    backend = backend_fn(scene_p) if backend_fn else None
+    pred = loudness_map(pose.origin, directions, scene_p, cfg,
+                        backend=backend, axis_name=axis_name,
+                        total_ray_count=total_ray_count)
+    return _loudness_mse(pred, target)
+
+
+def make_pose_recovery_step(cfg: TraceConfig, optimizer=None,
+                            backend: str = "jnp",
+                            recover: tuple = ("origin", "targets")):
+    """Jitted pose-recovery training step.
+
+    ``recover`` selects which pose leaves receive updates ("origin",
+    "targets", or both); the others keep their value (their gradients
+    are zeroed before the optimizer, so optimizer moments stay clean).
+    Kernel-tier backends are built with pose_grads=True (the FULL
+    hand-closed adjoint — ray cotangents + rotation pullbacks)."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    backend_fn = None
+    if backend in ("pallas", "pallas_interpret"):
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+        def backend_fn(s):
+            return make_pallas_backend(
+                s, interpret=(backend == "pallas_interpret"),
+                differentiable=True, pose_grads=True)
+    elif backend != "jnp":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    @jax.jit
+    def step(pose, opt_state, scene, directions, target):
+        loss, grads = jax.value_and_grad(pose_loss)(
+            pose, scene, directions, cfg, target, backend_fn=backend_fn)
+        grads = PoseParams(
+            origin=(grads.origin if "origin" in recover
+                    else jnp.zeros_like(grads.origin)),
+            target_positions=(grads.target_positions
+                              if "targets" in recover
+                              else jnp.zeros_like(grads.target_positions)))
+        updates, opt_state = optimizer.update(grads, opt_state, pose)
+        pose = optax.apply_updates(pose, updates)
+        return pose, opt_state, loss
+
+    return step, optimizer
+
+
+def stack_loudness(recordings: list) -> Loudness:
+    """Stack per-listener Loudness maps on a leading axis (the recording
+    batch make_source_recovery_step consumes)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *recordings)
+
+
+def make_source_recovery_step(cfg: TraceConfig, num_listeners: int,
+                              optimizer=None, backend: str = "jnp"):
+    """Source localization by triangulation: recover audio-target
+    POSITIONS from loudness recordings taken at ``num_listeners`` known
+    listener positions.
+
+    A single recording's observables (muffle / permeation / reverb
+    scalars) are too low-dimensional to pin a 3-D source position —
+    gradient descent matches the scalars at a wrong pose (measured:
+    local minimum ~1.3 units off truth). Several listeners make the
+    problem overdetermined, exactly like acoustic triangulation: each
+    listener's permeation chords and visibility energy constrain the
+    source along different directions, and their joint MSE has its
+    minimum at the true position (recovery test:
+    tests/test_gradients.py::TestPoseRecovery).
+
+    Returns ``step(target_positions, opt_state, scene, origins,
+    directions, recordings) -> (target_positions, opt_state, loss)``
+    where ``origins`` is [L, 3] and ``recordings`` a Loudness pytree
+    with leading axis L (see stack_loudness).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    backend_fn = None
+    if backend in ("pallas", "pallas_interpret"):
+        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+        def backend_fn(s):
+            return make_pallas_backend(
+                s, interpret=(backend == "pallas_interpret"),
+                differentiable=True, pose_grads=True)
+    elif backend != "jnp":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def multi_loss(tp, scene, origins, directions, recordings):
+        scene_p = dataclasses.replace(scene, target_positions=tp)
+        backend_ = backend_fn(scene_p) if backend_fn else None
+        total = 0.0
+        for li in range(num_listeners):
+            rec = jax.tree.map(lambda x, _l=li: x[_l], recordings)
+            pred = loudness_map(origins[li], directions, scene_p, cfg,
+                                backend=backend_)
+            total = total + _loudness_mse(pred, rec)
+        return total / num_listeners
+
+    @jax.jit
+    def step(target_positions, opt_state, scene, origins, directions,
+             recordings):
+        loss, grads = jax.value_and_grad(multi_loss)(
+            target_positions, scene, origins, directions, recordings)
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              target_positions)
+        target_positions = optax.apply_updates(target_positions, updates)
+        return target_positions, opt_state, loss
+
+    return step, optimizer

@@ -438,6 +438,26 @@ class TestTrainMaterialsCLI:
         assert out2["final_loss"] <= out1["final_loss"] * 1.5  # kept going
 
 
+class TestRecoverPoseCLI:
+    """--recover-pose: the pose-gradient workload as a tool (VERDICT r4
+    ask #7). Convergence itself is pinned in
+    tests/test_gradients.py::TestPoseRecovery; here the CLI must run,
+    descend, and report."""
+
+    def test_listener_mode_descends(self, monkeypatch, capsys):
+        import runpy
+        import sys
+
+        monkeypatch.setattr(sys, "argv", [
+            "train_materials", "--recover-pose", "listener", "--steps",
+            "40", "--rays", "128", "--lr", "0.03", "--log-every", "10"])
+        runpy.run_module("audio_raytracer_tpu.demo.train_materials",
+                         run_name="__main__")
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["mode"] == "recover_pose_listener"
+        assert out["pose_error_final"] < out["pose_error_initial"]
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         from audio_raytracer_tpu.models.differentiable import SceneParams
