@@ -219,7 +219,7 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
 
     dt = directions.dtype
 
-    def bounce(carry, step):
+    def bounce(carry, step, do_compact=compact):
         bids = batch_ids
         if unordered:
             if carry_bids:
@@ -229,7 +229,7 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         else:
             o, d, life, alive = carry
         pos = None
-        if compact:
+        if do_compact:
             # Stable alive-first reorder: carry in and (unless
             # unordered) everything back out via the inverse gather at
             # the end of the bounce. One packed row gather each way
@@ -301,7 +301,7 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             return carry, (t, echo_val)
 
         outputs = (t, echo_val, muffle_inc, live_hit, p)
-        if compact:
+        if do_compact:
             # Restore original ray order with ONE packed inverse-perm
             # GATHER over outputs + next-bounce carry (never a scatter —
             # TPU scatter serializes; see alive_partition).
@@ -332,18 +332,35 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0))
 
+    def scan_bounces(carry0):
+        """Scan all H bounces; with compaction on, bounce 0 runs OUTSIDE
+        the scan with the reorder elided — every ray starts alive, so
+        its alive-first partition is the identity permutation and the
+        argsort + packed row gathers there are pure cost (~8 ms/step at
+        1M rays on a v5e; exactness pinned by the compaction-invariance
+        tests, which compare against the uncompacted engine)."""
+        if not compact:
+            return jax.lax.scan(bounce, carry0, jnp.arange(H), length=H)
+        carry1, out0 = bounce(carry0, jnp.int32(0), do_compact=False)
+        if H == 1:
+            return carry1, jax.tree.map(lambda a: a[None], out0)
+        carry_out, outs = jax.lax.scan(bounce, carry1,
+                                       jnp.arange(1, H), length=H - 1)
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0,
+            outs)
+        return carry_out, outs
+
     if unordered:
         acc0 = jnp.zeros((B, T), jnp.int32)
         carry0 = ((o0, d0, life0, alive0, batch_ids, acc0) if carry_bids
                   else (o0, d0, life0, alive0, acc0))
-        carry_out, (t_all, echo) = jax.lax.scan(
-            bounce, carry0, jnp.arange(H), length=H)
+        carry_out, (t_all, echo) = scan_bounces(carry0)
         muffle_hits = carry_out[-1]
         hit_mask = None
     else:
         _, (t_all, echo, muffle_inc, hit_mask, hit_points) = \
-            jax.lax.scan(bounce, (o0, d0, life0, alive0),
-                         jnp.arange(H), length=H)
+            scan_bounces((o0, d0, life0, alive0))
         hit_mask = jnp.moveaxis(hit_mask, 0, 1)  # [R, H]
         # Per-(accum batch, target) muffle counts (the per-thread-batch
         # rows of AudioTargetManager.MuffleRayHits reduced over bounces

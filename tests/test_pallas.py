@@ -287,10 +287,11 @@ class TestRayCompaction:
                            backend="pallas_interpret")
         r_c, s_c = forward(origin, dirs, scene, cfg_c, collect_debug=True,
                            backend="pallas_interpret")
-        # Ints exactly; floats to 1 ulp-ish (XLA fuses the surrounding
-        # elementwise ops differently in the two programs, so per-lane
-        # rounding can differ by 1 ulp even though the trace logic is
-        # identical).
+        # Ints exactly; floats to a few ulp (XLA fuses the surrounding
+        # elementwise ops differently in the two programs — the
+        # compacted one also unrolls bounce 0 out of the scan to elide
+        # its identity reorder — so per-lane rounding can differ by a
+        # couple of ulp even though the trace logic is identical).
         np.testing.assert_array_equal(np.asarray(r_p.muffle_hits),
                                       np.asarray(r_c.muffle_hits))
         np.testing.assert_array_equal(np.asarray(r_p.hit_counts),
@@ -299,7 +300,7 @@ class TestRayCompaction:
                      (r_p.first_hit_t, r_c.first_hit_t),
                      (s_p.muffle, s_c.muffle)]:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-6, atol=1e-6)
+                                       rtol=1e-5, atol=1e-6)
 
     def test_unordered_tier_invariants(self, scene):
         """cfg.compact_unordered skips the per-bounce restore: echo rows
