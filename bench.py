@@ -46,7 +46,17 @@ def _drain(out):
     return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
 
 
+def _spread_ms(times):
+    """[min, median, max] over per-step seconds, in ms — every record
+    carries its dispersion so published claims (the ~±2% single-chip
+    band, the CPU-mesh contention band) point at artifacts."""
+    s = sorted(times)
+    return [round(s[0] * 1e3, 2), round(s[len(s) // 2] * 1e3, 2),
+            round(s[-1] * 1e3, 2)]
+
+
 def _time_step(step, origin, dirs, scene, iters):
+    """Returns (median_seconds, all_times)."""
     import jax.numpy as jnp
 
     _drain(step(origin, dirs, scene))  # warmup / compile
@@ -56,16 +66,18 @@ def _time_step(step, origin, dirs, scene, iters):
         t0 = time.perf_counter()
         _drain(step(o_i, dirs, scene))
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]  # median
+    return sorted(times)[len(times) // 2], times
 
 
-def _record(metric, rays_per_s, extra=None):
+def _record(metric, rays_per_s, extra=None, times=None):
     rec = {
         "metric": metric,
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / REFERENCE_ENVELOPE_RAYS_PER_S, 2),
     }
+    if times:
+        rec["spread_ms"] = _spread_ms(times)
     if extra:
         rec.update(extra)
     return rec
@@ -105,6 +117,65 @@ def _selfcheck(backend):
                                atol=2e-3)
     print(f"# selfcheck ok: {backend} == jnp on 4096x128 "
           f"(muffle {np.asarray(s_be.muffle).round(3).tolist()})",
+          file=sys.stderr)
+
+
+def _selfcheck_bwd(backend, pose_grads=False):
+    """Gate the fwd_bwd lanes the way _selfcheck gates the forward: the
+    kernel tier's hand-closed adjoints (materials; plus ray/rotation
+    cotangents when pose_grads) must match the jnp autodiff gradients
+    on a small workload before any backward record is posted."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_raytracer_tpu.models.differentiable import (
+        Loudness,
+        SceneParams,
+        loudness_loss,
+    )
+    from audio_raytracer_tpu.models.raytracer import random_scene
+    from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
+    from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+    from audio_raytracer_tpu.types import TraceConfig
+
+    cfg = TraceConfig(ray_count=1024, max_bounces=3, max_ray_life=150.0)
+    scene = random_scene(jax.random.key(9), num_spheres=24, num_aabbs=48,
+                         num_obbs=24, num_targets=4, extent=30.0,
+                         size_range=(0.5, 4.0))
+    params = SceneParams.from_scene(scene)
+    target = Loudness(muffle=jnp.full((4,), 0.3),
+                      permeation=jnp.full((4,), 0.2),
+                      reverb_energy=jnp.asarray(0.05))
+    origin = jnp.zeros(3)
+    dirs = fibonacci_directions(cfg.ray_count)
+
+    def backend_fn(s):
+        return make_pallas_backend(s, interpret=(backend != "pallas"),
+                                   differentiable=True,
+                                   pose_grads=pose_grads)
+
+    argnums = (0, 2) if pose_grads else 0
+
+    @jax.jit
+    def g_ref_fn(params, scene, origin, dirs):
+        return jax.grad(loudness_loss, argnums=argnums)(
+            params, scene, origin, dirs, cfg, target)
+
+    @jax.jit
+    def g_ker_fn(params, scene, origin, dirs):
+        return jax.grad(loudness_loss, argnums=argnums)(
+            params, scene, origin, dirs, cfg, target,
+            backend_fn=backend_fn)
+
+    g_ref = g_ref_fn(params, scene, origin, dirs)
+    g_ker = g_ker_fn(params, scene, origin, dirs)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ker)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    n = len(jax.tree.leaves(g_ref))
+    print(f"# selfcheck_bwd ok: {backend} adjoints == jnp autodiff on "
+          f"1024x96 ({n} grad leaves, pose_grads={pose_grads})",
           file=sys.stderr)
 
 
@@ -155,10 +226,32 @@ def _bench_fwd(args, cfg, scene, origin, dirs, backend):
         _, settings = forward(origin, dirs, scene, cfg_p, backend=backend)
         return settings
 
-    dt = _time_step(step, origin, dirs, scene, args.iters)
+    dt, times = _time_step(step, origin, dirs, scene, args.iters)
     return _record("rays_per_s_per_chip_fwd", args.rays / dt,
                    {"step_ms": round(dt * 1e3, 2), "compact_rays": True,
-                    "compact_unordered": True})
+                    "compact_unordered": True}, times=times)
+
+
+def _bench_fwd_uncompacted(args, cfg, scene, origin, dirs, backend):
+    """The HISTORICAL forward configuration: no ray compaction. Rounds
+    1-3 measured rays_per_s_per_chip_fwd with this config; round 4
+    switched the headline to the production (compacted) config, so this
+    lane keeps a like-for-like series for cross-round kernel-level
+    comparisons (advisor r4: config change and kernel improvement must
+    not conflate)."""
+    import jax
+
+    from audio_raytracer_tpu.models.raytracer import forward
+
+    @jax.jit
+    def step(origin, dirs, scene):
+        _, settings = forward(origin, dirs, scene, cfg, backend=backend)
+        return settings
+
+    dt, times = _time_step(step, origin, dirs, scene, args.iters)
+    return _record("rays_per_s_per_chip_fwd_uncompacted", args.rays / dt,
+                   {"step_ms": round(dt * 1e3, 2), "compact_rays": False},
+                   times=times)
 
 
 def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend,
@@ -196,7 +289,7 @@ def _bench_fwd_pipelined(args, cfg, scene, origin, dirs, backend,
                  "compact_rays": True, "compact_unordered": True}
     if extra:
         rec_extra.update(extra)
-    return _record(metric, args.rays / dt, rec_extra)
+    return _record(metric, args.rays / dt, rec_extra, times=times)
 
 
 def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
@@ -226,10 +319,11 @@ def _bench_fwd_reflife(args, cfg, scene, origin, dirs, backend):
         _, settings = forward(origin, dirs, scene, cfg_ref, backend=backend)
         return settings
 
-    dt = _time_step(step, origin, dirs, scene, args.iters)
+    dt, times = _time_step(step, origin, dirs, scene, args.iters)
     return _record("rays_per_s_per_chip_fwd_reflife", args.rays / dt,
                    {"step_ms": round(dt * 1e3, 2), "max_ray_life": 125.0,
-                    "compact_rays": True, "compact_unordered": True})
+                    "compact_rays": True, "compact_unordered": True},
+                   times=times)
 
 
 def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
@@ -277,10 +371,10 @@ def _bench_fwd_bwd(args, cfg, scene, origin, dirs, backend,
             return jax.grad(loudness_loss)(params, scene, origin, dirs, cfg,
                                            target, backend_fn=backend_fn)
 
-    dt = _time_step(step, origin, dirs, scene, args.iters)
+    dt, times = _time_step(step, origin, dirs, scene, args.iters)
     suffix = "_posegrads" if pose_grads else ""
     return _record(f"rays_per_s_per_chip_fwd_bwd{suffix}", args.rays / dt,
-                   {"step_ms": round(dt * 1e3, 2)})
+                   {"step_ms": round(dt * 1e3, 2)}, times=times)
 
 
 def _bench_mesh(args, cfg, scene, origin, dirs, backend):
@@ -312,7 +406,7 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
                               backend=mesh_backend)
         return settings
 
-    dt1 = _time_step(one_dev, origin, dirs, scene, args.iters)
+    dt1, times1 = _time_step(one_dev, origin, dirs, scene, args.iters)
 
     mesh = make_mesh(ray_shards=ray_shards, prim_shards=prim_shards,
                      devices=devs[:n_dev])
@@ -334,15 +428,25 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
 
     _drain(step(origin, dirs, scene_p))  # warmup / compile
     _drain(step_nc(origin, dirs, scene_p))
-    times, times_nc = [], []
-    for i in range(args.iters):
-        o_i = origin + jnp.float32(i) * 1e-6
-        t0 = time.perf_counter()
-        _drain(step(o_i, dirs, scene_p))
-        times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _drain(step_nc(o_i, dirs, scene_p))
-        times_nc.append(time.perf_counter() - t0)
+    # 3 measurement repeats of the interleaved loop (same compiled
+    # step; no recompiles): the per-repeat medians expose run-level
+    # contention drift on this 2-core box, so the BASELINE.md noise
+    # -band argument cites recorded numbers instead of memory.
+    REPEATS = 3
+    times, times_nc, repeat_medians = [], [], []
+    for rep in range(REPEATS):
+        rep_times = []
+        for i in range(args.iters):
+            o_i = origin + jnp.float32(rep * args.iters + i) * 1e-6
+            t0 = time.perf_counter()
+            _drain(step(o_i, dirs, scene_p))
+            rep_times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _drain(step_nc(o_i, dirs, scene_p))
+            times_nc.append(time.perf_counter() - t0)
+        times.extend(rep_times)
+        repeat_medians.append(
+            round(sorted(rep_times)[len(rep_times) // 2] * 1e3, 2))
     dtn = sorted(times)[len(times) // 2]
     dtn_nc = sorted(times_nc)[len(times_nc) // 2]
 
@@ -356,6 +460,10 @@ def _bench_mesh(args, cfg, scene, origin, dirs, backend):
     _emit(f"rays_per_s_mesh_{ray_shards}x{prim_shards}{tier}",
           args.rays / dtn,
           {"step_ms": round(dtn * 1e3, 2),
+           "spread_ms": _spread_ms(times),
+           "repeat_medians_ms": repeat_medians,
+           "one_dev_ms": round(dt1 * 1e3, 2),
+           "one_dev_spread_ms": _spread_ms(times1),
            "scaling_efficiency_vs_1dev": round(eff, 4),
            "same_work_efficiency_vs_1dev": round(dt1 / dtn, 4),
            "same_work_efficiency_no_collectives": round(dt1 / dtn_nc, 4),
@@ -451,6 +559,12 @@ def main():
 
     if backend != "jnp" and not args.mesh:
         _selfcheck(backend)
+        if args.mode in ("both", "fwd_bwd") or args.pose_grads:
+            # Backward lanes are gated like the forward: a silently
+            # -broken compiled adjoint must not post records.
+            _selfcheck_bwd(backend)
+            if args.mode == "both" or args.pose_grads:
+                _selfcheck_bwd(backend, pose_grads=True)
 
     if args.mesh:
         _bench_mesh(args, cfg, scene, origin, dirs, backend)
@@ -489,6 +603,11 @@ def main():
                                                     origin, dirs, backend))
             fwd_recs.append(_bench_fwd(args, cfg, scene, origin, dirs,
                                        backend))
+            # Like-for-like historical config (no compaction; rounds
+            # 1-3 measured fwd this way) — measured after the headline
+            # lanes, emitted as an auxiliary record.
+            fwd_recs.insert(len(fwd_recs) - 1, _bench_fwd_uncompacted(
+                args, cfg, scene, origin, dirs, backend))
         if args.mode == "both" or args.pose_grads:
             bwd_recs.append(_bench_fwd_bwd(args, cfg, scene, origin, dirs,
                                            backend, pose_grads=True))
