@@ -195,6 +195,79 @@ def test_compiled_gradient_step(scene):
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
 
 
+def test_compiled_gradient_parity_vs_dense(scene):
+    """NUMERIC adjoint parity on the real chip (VERDICT r4 ask #3): the
+    compiled Mosaic custom-VJP kernels — materials adjoint AND the full
+    pose_grads tier (ray cotangents + rotation pullbacks) — must match
+    the DenseBackend jnp autodiff gradients on the same f32 workload,
+    not merely be finite. The gate splits by gradient PATH:
+
+    - DENSITY grads flow through the hand-closed chord adjoint kernel
+      (fused.multi_chord_bwd) and must match tightly: allclose at
+      rtol 2e-3 / atol 1e-5 AND relative L2 < 1e-4 (measured ~5e-7 —
+      a Mosaic-lowering numeric bug in the adjoint fails this hard).
+    - ABSORPTION / ECHO / pose grads route through the closest-hit
+      WINNER selection: compiled kernels contract fma differently than
+      the dense XLA grid, so a razor-edge closest-hit tie can flip
+      which primitive wins a bounce for a handful of rays, re-routing
+      those rays' whole contribution between primitives. The atol is
+      therefore a few single-ray contribution quanta (measured quantum
+      ~4e-5 at R=2048: one flipped ray moved exactly that much):
+      allclose at rtol 2e-3 / atol 1e-4. Measured divergence: 0-2
+      entries per leaf, all < 4.1e-5 absolute.
+    """
+    from audio_raytracer_tpu.models.differentiable import (
+        Loudness,
+        SceneParams,
+        loudness_loss,
+    )
+
+    cfg = TraceConfig(ray_count=2048, max_bounces=2, max_ray_life=120.0,
+                      max_muffle_hit_distance=100.0)
+    origin = jnp.array([0.2, -0.3, 0.1])
+    dirs = fibonacci_directions(2048)
+    params = SceneParams.from_scene(scene)
+    target = Loudness(muffle=jnp.full((3,), 0.3),
+                      permeation=jnp.full((3,), 0.2),
+                      reverb_energy=jnp.asarray(0.05))
+
+    import jax.tree_util as jtu
+
+    for pose_grads in (False, True):
+        argnums = (0, 2) if pose_grads else 0
+
+        def backend_fn(s, _pg=pose_grads):
+            return PallasBackend(s, differentiable=True, pose_grads=_pg)
+
+        g_ker = jax.jit(lambda p: jax.grad(loudness_loss,
+                                           argnums=argnums)(
+            p, scene, origin, dirs, cfg, target,
+            backend_fn=backend_fn))(params)
+        g_ref = jax.jit(lambda p: jax.grad(loudness_loss,
+                                           argnums=argnums)(
+            p, scene, origin, dirs, cfg, target))(params)
+
+        ker = jtu.tree_leaves_with_path(g_ker)
+        ref = jtu.tree_leaves_with_path(g_ref)
+        assert len(ker) == len(ref) and ker
+        for (path, a), (_, b) in zip(ref, ker):
+            name = jtu.keystr(path)
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            if "density" in name:
+                np.testing.assert_allclose(
+                    b, a, rtol=2e-3, atol=1e-5,
+                    err_msg=f"chord-adjoint leaf {name} "
+                            f"(pose_grads={pose_grads})")
+                rel_l2 = (np.linalg.norm(a - b)
+                          / max(float(np.linalg.norm(a)), 1e-12))
+                assert rel_l2 < 1e-4, (name, pose_grads, rel_l2)
+            else:
+                np.testing.assert_allclose(
+                    b, a, rtol=2e-3, atol=1e-4,
+                    err_msg=f"winner-routed leaf {name} "
+                            f"(pose_grads={pose_grads})")
+
+
 def test_sharded_train_step_compiled_pallas(scene):
     """shard_map x COMPILED Pallas x backward on the 1x1 device mesh —
     the pod-scale gradient composition (BASELINE configs 4+5) that
