@@ -25,7 +25,7 @@ import numpy as np
 
 def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
              listener_path=None, verbose=True, viz_every=0,
-             viz_path=None):
+             viz_path=None, mesh=None):
     """Run the frame loop; returns per-frame settings history.
 
     listener_path: optional callable t -> [3] position (the
@@ -37,13 +37,16 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
     (the in-loop equivalent of the reference's editor gizmos drawing
     WHILE the sim runs, Audio/AudioRayTracer.cs:291-355); frame index is
     appended to ``viz_path`` (default "frame.png" -> frame_0042.png).
+
+    mesh: optional ('rays','prims') jax.sharding.Mesh — the live loop
+    then serves through the sharded step (AsyncRaytraceLoop(mesh=)).
     """
     import jax
 
     from audio_raytracer_tpu.runtime.orchestrator import AsyncRaytraceLoop
 
     loop = AsyncRaytraceLoop(loaded.registry, loaded.cfg, backend=backend,
-                             compute_async=False)
+                             compute_async=False, mesh=mesh)
     if listener_path is None and loaded.listener_animation is not None:
         anim = loaded.listener_animation
 
@@ -211,6 +214,10 @@ def main():
                         "the --viz path)")
     p.add_argument("--orbit", action="store_true",
                    help="listener orbits the origin (PlayerController stand-in)")
+    p.add_argument("--mesh", metavar="RxP",
+                   help="serve through a ('rays','prims') device mesh "
+                        "(needs R*P attached devices; on a 1-chip box "
+                        "use the virtual-CPU recipe in tests/conftest.py)")
     args = p.parse_args()
 
     from audio_raytracer_tpu.demo.scene_format import (
@@ -230,9 +237,24 @@ def main():
             return base + np.asarray(
                 [6.0 * np.sin(0.5 * t), 0.0, 6.0 * np.cos(0.5 * t)])
 
+    mesh = None
+    if args.mesh:
+        import dataclasses
+
+        from audio_raytracer_tpu.parallel.mesh import make_mesh
+
+        rs, ps = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh(ray_shards=rs, prim_shards=ps)
+        if loaded.cfg.ray_count % rs:
+            rc = -(-loaded.cfg.ray_count // rs) * rs
+            print(f"rounding ray_count {loaded.cfg.ray_count} -> {rc} "
+                  f"for {rs} ray shards", file=sys.stderr)
+            loaded.cfg = dataclasses.replace(loaded.cfg, ray_count=rc)
+
     history = simulate(loaded, frames=args.frames, dt=args.dt,
                        backend=args.backend, listener_path=listener_path,
-                       viz_every=args.viz_every, viz_path=args.viz)
+                       viz_every=args.viz_every, viz_path=args.viz,
+                       mesh=mesh)
 
     print(json.dumps({
         "frames": args.frames,

@@ -246,6 +246,25 @@ class TestScenePlayer:
             assert p.stat().st_size > 10_000, p
         loaded.registry.close()
 
+    def test_simulate_over_mesh(self):
+        # The demo player composed with the meshed serving loop
+        # (scene_player --mesh): settings come back finite and the
+        # animations still drive the registry. NB muffle values are
+        # num_accum_batches-dependent by reference semantics (the
+        # permeation overwrite quirk writes one slot per thread batch),
+        # and the meshed loop uses one batch per ray shard.
+        from audio_raytracer_tpu.parallel.mesh import make_mesh
+
+        loaded = build_registry(sample_scene_dict(ray_count=64,
+                                                  max_bounces=1))
+        history = simulate(loaded, frames=6, dt=0.1, verbose=False,
+                           mesh=make_mesh(ray_shards=4, prim_shards=2))
+        assert np.isfinite(history["muffle"]).all()
+        assert (history["reverb_volume"][2:] > 0).any()
+        anim = loaded.animations[0]
+        assert not np.allclose(anim.position, anim.waypoints[0])
+        loaded.registry.close()
+
     def test_wav_render(self, tmp_path):
         loaded = build_registry(sample_scene_dict(ray_count=32,
                                                   max_bounces=1))
