@@ -110,6 +110,40 @@ class TestSceneFormat:
         loaded.registry.close()
 
 
+class TestShippedScenes:
+    """The example scene gallery (demo/scenes/*.json) must validate,
+    load, and simulate — these are the user-facing documents."""
+
+    def test_gallery_loads_and_simulates(self):
+        import glob
+        import os
+
+        import audio_raytracer_tpu.demo as demo_pkg
+
+        gallery = sorted(glob.glob(os.path.join(
+            os.path.dirname(demo_pkg.__file__), "scenes", "*.json")))
+        assert len(gallery) >= 2, gallery
+        for path in gallery:
+            loaded = load_scene_file(path)
+            history = simulate(loaded, frames=4, dt=0.1, verbose=False)
+            assert np.isfinite(history["muffle"]).all(), path
+            loaded.registry.close()
+
+    def test_corridor_door_occludes_and_listener_walks(self):
+        import os
+
+        import audio_raytracer_tpu.demo as demo_pkg
+
+        path = os.path.join(os.path.dirname(demo_pkg.__file__),
+                            "scenes", "corridor.json")
+        loaded = load_scene_file(path)
+        assert loaded.listener_animation is not None
+        history = simulate(loaded, frames=10, dt=0.2, verbose=False)
+        # The listener walked down the corridor (+z from -18).
+        assert history["listener"][-1][2] > history["listener"][0][2] + 3
+        loaded.registry.close()
+
+
 class TestSceneValidation:
     """Authoring-time failsafe (VERDICT r4 #8 / AudioCollider.cs:95-118):
     malformed scene documents fail fast with a path-precise error."""
