@@ -332,6 +332,13 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0))
 
+    # Unroll shallow bounce loops: at the default depths (H <= 8) the
+    # unrolled program lets XLA schedule across bounce boundaries
+    # (measured ~1% faster with a visibly tighter spread at the 1M x 4K
+    # headline, fwd AND fwd+bwd); deeper configs (the reference allows
+    # 26 hits/ray) keep the rolled scan to bound compile size.
+    unroll = H if H <= 8 else 1
+
     def scan_bounces(carry0):
         """Scan all H bounces; with compaction on, bounce 0 runs OUTSIDE
         the scan with the reorder elided — every ray starts alive, so
@@ -340,12 +347,14 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
         1M rays on a v5e; exactness pinned by the compaction-invariance
         tests, which compare against the uncompacted engine)."""
         if not compact:
-            return jax.lax.scan(bounce, carry0, jnp.arange(H), length=H)
+            return jax.lax.scan(bounce, carry0, jnp.arange(H), length=H,
+                                unroll=unroll)
         carry1, out0 = bounce(carry0, jnp.int32(0), do_compact=False)
         if H == 1:
             return carry1, jax.tree.map(lambda a: a[None], out0)
         carry_out, outs = jax.lax.scan(bounce, carry1,
-                                       jnp.arange(1, H), length=H - 1)
+                                       jnp.arange(1, H), length=H - 1,
+                                       unroll=unroll)
         outs = jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0,
             outs)
