@@ -87,6 +87,19 @@ round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
   cannot cull at all: the reference integrates along the UNBOUNDED ray
   (AudioPermeationJobBatched.cs:287 has no upper t limit), and the
   infinite sweep reaches ~98% of primitives.
+- Occlusion-only lane compaction in the TRAINING path is MEASURED
+  -NEGATIVE (round 5, don't retry): the occlusion booleans carry no
+  tangents, so loudness_map could legally compact the occlusion
+  KERNEL's inputs under stop_gradient (gather in, inverse-GATHER the
+  booleans out — no transposed scatter ever materializes) while the
+  gradient-carrying trace lanes stay uncompacted. Measured at the 1M
+  x 4K headline: 1557 -> 1761 ms at maxRayLife 300 and 1557 -> 1680
+  at 125 (grads identical). Unlike the inference tier's carry
+  compaction, the training variant must re-pack ~28 columns (offset
+  point + 5 direction sets + limits + moot bits) from scratch EVERY
+  bounce and pays both permutation gathers per bounce — ~40 ms/bounce
+  of data movement against <= 31 ms/bounce of skippable occlusion
+  work even at the fast-death ray budget.
 - Host-side per-bounce primitive compaction (build a compacted prim
   list with XLA gathers, stream only that) is ANALYZED-NEGATIVE, by
   structure not implementation: the 47%/16% bounce-0/1 cull rates are
