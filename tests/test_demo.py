@@ -231,6 +231,15 @@ class TestSceneValidation:
         doc["targets"][0]["position"] = [0, 3]
         self._expect(doc, "scene.targets[0].position")
 
+    def test_listener_waypoints_validated(self):
+        doc = self._base()
+        doc["listener"] = {"position": [0, 0, 0], "speed": 2.0,
+                           "waypoints": [[1, 2]]}
+        self._expect(doc, "scene.listener.waypoints[0]")
+        doc["listener"] = {"position": [0, 0, 0], "speed": -1.0,
+                           "waypoints": [[1, 2, 3]]}
+        self._expect(doc, "scene.listener.speed")
+
 
 class TestScenePlayer:
     def test_simulation_runs_and_platform_moves(self):

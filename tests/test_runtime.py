@@ -251,6 +251,22 @@ class TestAsyncLoop:
         assert after is not None and loop._directions.shape == (256, 3)
         del jax
 
+    def test_meshed_loop_without_ir(self, reg):
+        # num_reverb_bins == 0 on the meshed path: the sharded step's
+        # [0]-shaped IR placeholder must normalize back to None at
+        # harvest (matching the single-device loop's contract).
+        from audio_raytracer_tpu.parallel.mesh import make_mesh
+
+        reg.add_aabb([0, 0, 5], [2, 2, 1])
+        reg.add_target([0, 0, 3])
+        cfg = TraceConfig(ray_count=64, max_bounces=1, max_ray_life=80.0)
+        mesh = make_mesh(ray_shards=4, prim_shards=2)
+        loop = AsyncRaytraceLoop(reg, cfg, compute_async=False, mesh=mesh)
+        loop.tick([0, 0, 0])
+        settings = loop.tick([0, 0, 0])
+        assert settings is not None
+        assert loop.reverb_ir is None
+
     def test_live_reconfigure(self, reg):
         # The editor failsafe re-alloc (Audio/AudioRayTracer.cs:110-133):
         # ray_count / max_bounces / num_reverb_bins change mid-run; the
