@@ -36,11 +36,14 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from audio_raytracer_tpu.ops.backend import NO_SKIP
 from audio_raytracer_tpu.ops.pallas.kernels import (
     BIG,
     INT_MAX,
+    RAY_COLS,
+    ROWS,
     _cast_refs,
     _f32,
     _grid,
@@ -549,6 +552,52 @@ def run_multi_chord(prim_fields: dict, counts, o, dirs, skips,
 # ---------------------------------------------------------------------------
 # multi_chord backward: hand-closed adjoints, one primitive stream
 # ---------------------------------------------------------------------------
+#
+# Phase-split density accumulation (round 5, measured on v5e at the 1M x
+# 4K x S=4 headline): a cross-lane ``jnp.sum`` *inside* the primitive
+# loop stalls Mosaic's software pipeline once per iteration — the AABB
+# dens stream ran 137 ms with an in-loop reduce vs 71 ms with none,
+# and cutting the reduce COUNT (4 per prim -> 1) bought only ~2%,
+# so the stall is per-iteration, not per-reduce. The fix: stage each
+# primitive's per-lane density cotangent into a VMEM scratch chunk
+# (DENS_CHUNK prims x one (ROWS, RAY_COLS) block each, 1 MB) with no
+# reduce in the loop, then reduce the whole chunk in one vectorized
+# [CH, R, C] -> [CH] op and accumulate it into a (n/CH, CH) VMEM output
+# row. Measured: the phase-split AABB stream matches the no-reduce
+# floor exactly (71.8 vs 71.0 ms) at full per-primitive parity.
+# Primitive streams are padded to DENS_CHUNK multiples with the same
+# guaranteed-miss encodings the backend uses for inactive slots.
+
+DENS_CHUNK = 64  # prims staged per scratch chunk (1 MB f32 scratch)
+
+# Padding fills per field name; anything absent pads with 0. These are
+# the backend's own inactive encodings (ops/pallas/backend.py:141-186):
+# negative r2 = sphere never hits; inf miss = box invalid; -1 bounding
+# r2 = never culled-in by conv-hull tests.
+_CHUNK_PAD = {"s_r2": -1e30, "a_miss": float("inf"),
+              "o_miss": float("inf"), "s_br2": -1.0, "a_br2": -1.0,
+              "o_br2": -1.0}
+
+
+def _pad_prims_to_chunks(prim_fields, counts, ch=DENS_CHUNK):
+    """Pad each primitive type's scalar field arrays to a multiple of
+    ``ch`` with guaranteed-miss encodings so the chunked adjoint
+    kernels run only full chunks (no tail masking in-kernel). Returns
+    (padded_fields, padded_counts)."""
+    padded_counts = tuple(-(-n // ch) * ch if n else 0 for n in counts)
+    if padded_counts == tuple(counts):
+        return prim_fields, tuple(counts)
+    per_type = dict(zip("sao", zip(counts, padded_counts)))
+    out = {}
+    for k, v in prim_fields.items():
+        n, np_ = per_type[k[0]]
+        if np_ == n:
+            out[k] = v
+        else:
+            fill = _CHUNK_PAD.get(k, 0.0)
+            out[k] = jnp.concatenate(
+                [v, jnp.full((np_ - n,), fill, v.dtype)])
+    return out, padded_counts
 
 
 def _box_chord_adjoint(gv, dens, t_near, t_far, chord_raw, chord,
@@ -599,22 +648,22 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
     """Hand-closed VJP of multi_chord_kernel.
 
     Outputs: d_o (3 ray arrays, summed over sets), per-set d_d (3S ray
-    arrays), per-type density grads (SMEM, accumulated across the
-    sequential grid)."""
+    arrays), per-type density grads as (n/CH, CH) VMEM chunk grids
+    accumulated across the sequential grid; the last ref is the shared
+    phase-split VMEM scratch (see the note above DENS_CHUNK — counts
+    must be DENS_CHUNK multiples)."""
     ns, na, no = counts
     S = len(skips)
     refs = dict(zip(names, refs_list[:len(names)]))
-    outs = refs_list[len(names):]
+    outs = refs_list[len(names):-1]
     do_refs = outs[:3 + 3 * S]
     dens_refs = dict(zip(dens_keys, outs[3 + 3 * S:]))
+    scratch = refs_list[-1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in dens_refs.values():
-            def zero(i, _):
-                ref[i] = 0.0
-                return 0
-            jax.lax.fori_loop(0, ref.shape[0], zero, 0)
+            ref[...] = jnp.zeros_like(ref[...])
 
     ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
     sets = _load_sets(refs, S, with_limits=False)
@@ -631,13 +680,18 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
         g_ox, g_oy, g_oz = acc[0], acc[1], acc[2]
         new_d = list(acc[3:])
-        g_dens = 0.0
+        # Density cotangent: accumulate LANES across sets here; the
+        # cross-lane reduction happens OUTSIDE the primitive loop via
+        # the phase-split scratch (see _stream / the DENS_CHUNK note).
+        # f32 addition-order changes vs the reference accumulation are
+        # ~1e-7 rel (within every adjoint parity gate).
+        gd_lanes = jnp.zeros(ox.shape, jnp.float32)
         for s, st in enumerate(sets):
             b, hit, sq, t_exit, enter_raw, chord_raw, chord = \
                 _sphere_chord_terms(st, ocx, ocy, ocz, cc)
             valid = hit & (t_exit >= 0.0) & (tgt != skips[s])
             gv = jnp.where(valid, gs[s], 0.0)
-            g_dens = g_dens + jnp.sum(gv * jnp.where(valid, chord, 0.0))
+            gd_lanes = gd_lanes + gv * jnp.where(valid, chord, 0.0)
             g_chord = gv * dens * (chord_raw > 0.0)
             g_texit = g_chord
             g_enter_raw = -g_chord * (enter_raw > 0.0)
@@ -653,8 +707,7 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
             new_d[3 * s + 0] = new_d[3 * s + 0] + g_b * ocx
             new_d[3 * s + 1] = new_d[3 * s + 1] + g_b * ocy
             new_d[3 * s + 2] = new_d[3 * s + 2] + g_b * ocz
-        dens_refs["s_dens"][p] += g_dens
-        return (g_ox, g_oy, g_oz) + tuple(new_d)
+        return gd_lanes, (g_ox, g_oy, g_oz) + tuple(new_d)
 
     def a_body(p, acc):
         mn = (refs["a_minx"][p] - ox, refs["a_miny"][p] - oy,
@@ -665,7 +718,7 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
         tgt, dens = refs["a_tgt"][p], refs["a_dens"][p]
         g_ox, g_oy, g_oz = acc[0], acc[1], acc[2]
         new_d = list(acc[3:])
-        g_dens = 0.0
+        gd_lanes = jnp.zeros(ox.shape, jnp.float32)  # reduced in _stream
         for s, st in enumerate(sets):
             i_s = (st["ix"], st["iy"], st["iz"])
             d_s = (st["dx"], st["dy"], st["dz"])
@@ -679,7 +732,7 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
             g_d_lanes, g_mn, g_mx, g_i = _box_chord_adjoint(
                 gv, dens, t_near, t_far, chord_raw, chord, valid,
                 t0s, t1s, i_s, mn, mx)
-            g_dens = g_dens + jnp.sum(g_d_lanes)
+            gd_lanes = gd_lanes + g_d_lanes
             # mn_a = bound - o_a  =>  g_o -= (g_mn + g_mx)
             g_ox = g_ox - (g_mn[0] + g_mx[0])
             g_oy = g_oy - (g_mn[1] + g_mx[1])
@@ -687,8 +740,7 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
             for a in range(3):
                 new_d[3 * s + a] = new_d[3 * s + a] + _inv_dir_grad(
                     g_i[a], d_s[a], i_s[a])
-        dens_refs["a_dens"][p] += g_dens
-        return (g_ox, g_oy, g_oz) + tuple(new_d)
+        return gd_lanes, (g_ox, g_oy, g_oz) + tuple(new_d)
 
     def o_body(p, acc):
         cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
@@ -700,7 +752,7 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
         mx = (hx - lox, hy - loy, hz - loz)
         g_lox, g_loy, g_loz = 0.0, 0.0, 0.0
         new_d = list(acc[3:])
-        g_dens = 0.0
+        gd_lanes = jnp.zeros(ox.shape, jnp.float32)  # reduced in _stream
         for s, st in enumerate(sets):
             ldx, ldy, ldz = _mat_rotate(refs, p,
                                         st["dx"], st["dy"], st["dz"])
@@ -717,7 +769,7 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
             g_d_lanes, g_mn, g_mx, g_i = _box_chord_adjoint(
                 gv, dens, t_near, t_far, chord_raw, chord, valid,
                 t0s, t1s, i_s, mn, mx)
-            g_dens = g_dens + jnp.sum(g_d_lanes)
+            gd_lanes = gd_lanes + g_d_lanes
             g_lox = g_lox - (g_mn[0] + g_mx[0])
             g_loy = g_loy - (g_mn[1] + g_mx[1])
             g_loz = g_loz - (g_mn[2] + g_mx[2])
@@ -728,64 +780,81 @@ def multi_chord_bwd_kernel(counts, skips, names, dens_keys, *refs_list):
             new_d[3 * s + 0] = new_d[3 * s + 0] + gdx
             new_d[3 * s + 1] = new_d[3 * s + 1] + gdy
             new_d[3 * s + 2] = new_d[3 * s + 2] + gdz
-        dens_refs["o_dens"][p] += g_dens
         # o_local = M (o - c)  =>  g_o = M^T g_lo
         gox, goy, goz = _mat_rotate_t(refs, p, g_lox, g_loy, g_loz)
-        return (acc[0] + gox, acc[1] + goy, acc[2] + goz) + tuple(new_d)
+        return gd_lanes, ((acc[0] + gox, acc[1] + goy, acc[2] + goz)
+                          + tuple(new_d))
+
+    def _stream(n, body, out_ref, acc):
+        """Phase-split driver: the primitive loop stores lanes (no
+        cross-lane reduce inside it); each chunk reduces in one
+        vectorized op."""
+        def chunk(k, acc):
+            def store(c, acc):
+                gd, acc = body(k * DENS_CHUNK + c, acc)
+                scratch[c] = gd
+                return acc
+            acc = jax.lax.fori_loop(0, DENS_CHUNK, store, acc)
+            red = jnp.sum(jnp.sum(scratch[...], axis=1), axis=1)
+            out_ref[k, :] = out_ref[k, :] + red
+            return acc
+        return jax.lax.fori_loop(0, n // DENS_CHUNK, chunk, acc)
 
     if ns:
-        acc = jax.lax.fori_loop(0, ns, s_body, acc)
+        acc = _stream(ns, s_body, dens_refs["s_dens"], acc)
     if na:
-        acc = jax.lax.fori_loop(0, na, a_body, acc)
+        acc = _stream(na, a_body, dens_refs["a_dens"], acc)
     if no:
-        acc = jax.lax.fori_loop(0, no, o_body, acc)
+        acc = _stream(no, o_body, dens_refs["o_dens"], acc)
     for ref, a in zip(do_refs, acc):
         ref[...] = a
 
 
 def multi_chord_dens_bwd_kernel(counts, skips, names, dens_keys,
                                 *refs_list):
-    """Density-only VJP of multi_chord_kernel.
+    """Density-only VJP of multi_chord_kernel, phase-split.
 
     Materials training (the gradient workload's train step) never
     consumes the chord adjoint's ray cotangents — positions are
     material-independent, so d_o / d_dirs are dead outputs there. This
     kernel recomputes the forward chords and accumulates ONLY the
     per-primitive density gradients (sum over lanes of g * chord),
-    roughly halving the ops of the full adjoint."""
+    roughly halving the ops of the full adjoint.
+
+    ``counts`` must be DENS_CHUNK multiples (see _pad_prims_to_chunks);
+    outputs are per-type (n/CH, CH) f32 VMEM chunk grids (the wrapper
+    reshapes back to [n]); the last ref is the (CH, ROWS, RAY_COLS)
+    VMEM scratch that decouples the primitive loop from the cross-lane
+    reduction (see the phase-split note above DENS_CHUNK)."""
     ns, na, no = counts
     S = len(skips)
     refs = dict(zip(names, refs_list[:len(names)]))
-    dens_refs = dict(zip(dens_keys, refs_list[len(names):]))
+    dens_refs = dict(zip(dens_keys, refs_list[len(names):-1]))
+    scratch = refs_list[-1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in dens_refs.values():
-            def zero(i, _):
-                ref[i] = 0.0
-                return 0
-            jax.lax.fori_loop(0, ref.shape[0], zero, 0)
+            ref[...] = jnp.zeros_like(ref[...])
 
     ox, oy, oz = refs["ox"][...], refs["oy"][...], refs["oz"][...]
     sets = _load_sets(refs, S, with_limits=False)
     gs = [refs[f"g{s}"][...] for s in range(S)]
 
-    def s_body(p, _):
+    def s_lanes(p):
         cx, cy, cz = refs["s_cx"][p], refs["s_cy"][p], refs["s_cz"][p]
         r2, tgt = refs["s_r2"][p], refs["s_tgt"][p]
         ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        g_dens = 0.0
+        gd_lanes = jnp.zeros(ox.shape, jnp.float32)
         for s, st in enumerate(sets):
             _, hit, _, t_exit, _, _, chord = _sphere_chord_terms(
                 st, ocx, ocy, ocz, cc)
             valid = hit & (t_exit >= 0.0) & (tgt != skips[s])
-            g_dens = g_dens + jnp.sum(
-                jnp.where(valid, chord, 0.0) * gs[s])
-        dens_refs["s_dens"][p] += g_dens
-        return 0
+            gd_lanes = gd_lanes + jnp.where(valid, chord, 0.0) * gs[s]
+        return gd_lanes
 
-    def a_body(p, _):
+    def a_lanes(p):
         mnx = refs["a_minx"][p] - ox
         mny = refs["a_miny"][p] - oy
         mnz = refs["a_minz"][p] - oz
@@ -794,18 +863,16 @@ def multi_chord_dens_bwd_kernel(counts, skips, names, dens_keys,
         mxz = refs["a_maxz"][p] - oz
         ok = refs["a_miss"][p] == 0.0
         tgt = refs["a_tgt"][p]
-        g_dens = 0.0
+        gd_lanes = jnp.zeros(ox.shape, jnp.float32)
         for s, st in enumerate(sets):
             t_near, t_far, _, chord = _box_chord_terms(
                 st["ix"], st["iy"], st["iz"], mnx, mny, mnz, mxx, mxy, mxz)
             valid = ((t_near <= t_far) & (t_far >= 0.0)
                      & (tgt != skips[s]) & ok)
-            g_dens = g_dens + jnp.sum(
-                jnp.where(valid, chord, 0.0) * gs[s])
-        dens_refs["a_dens"][p] += g_dens
-        return 0
+            gd_lanes = gd_lanes + jnp.where(valid, chord, 0.0) * gs[s]
+        return gd_lanes
 
-    def o_body(p, _):
+    def o_lanes(p):
         cx, cy, cz = refs["o_cx"][p], refs["o_cy"][p], refs["o_cz"][p]
         hx, hy, hz = refs["o_hx"][p], refs["o_hy"][p], refs["o_hz"][p]
         ok = refs["o_miss"][p] == 0.0
@@ -813,7 +880,7 @@ def multi_chord_dens_bwd_kernel(counts, skips, names, dens_keys,
         lox, loy, loz = _mat_rotate(refs, p, ox - cx, oy - cy, oz - cz)
         mn = (_neg(hx) - lox, _neg(hy) - loy, _neg(hz) - loz)
         mx = (hx - lox, hy - loy, hz - loz)
-        g_dens = 0.0
+        gd_lanes = jnp.zeros(ox.shape, jnp.float32)
         for s, st in enumerate(sets):
             ldx, ldy, ldz = _mat_rotate(refs, p,
                                         st["dx"], st["dy"], st["dz"])
@@ -822,17 +889,48 @@ def multi_chord_dens_bwd_kernel(counts, skips, names, dens_keys,
                 ix, iy, iz, *mn, *mx)
             valid = ((t_near <= t_far) & (t_far >= 0.0)
                      & (tgt != skips[s]) & ok)
-            g_dens = g_dens + jnp.sum(
-                jnp.where(valid, chord, 0.0) * gs[s])
-        dens_refs["o_dens"][p] += g_dens
-        return 0
+            gd_lanes = gd_lanes + jnp.where(valid, chord, 0.0) * gs[s]
+        return gd_lanes
+
+    def _stream(n, lanes, out_ref):
+        """Phase 1: store each prim's lanes (no reduce in the loop);
+        phase 2: one vectorized [CH, R, C] -> [CH] reduce per chunk."""
+        def chunk(k, _):
+            def store(c, _):
+                scratch[c] = lanes(k * DENS_CHUNK + c)
+                return 0
+            jax.lax.fori_loop(0, DENS_CHUNK, store, 0)
+            red = jnp.sum(jnp.sum(scratch[...], axis=1), axis=1)
+            out_ref[k, :] = out_ref[k, :] + red
+            return 0
+        jax.lax.fori_loop(0, n // DENS_CHUNK, chunk, 0)
 
     if ns:
-        jax.lax.fori_loop(0, ns, s_body, 0)
+        _stream(ns, s_lanes, dens_refs["s_dens"])
     if na:
-        jax.lax.fori_loop(0, na, a_body, 0)
+        _stream(na, a_lanes, dens_refs["a_dens"])
     if no:
-        jax.lax.fori_loop(0, no, o_body, 0)
+        _stream(no, o_lanes, dens_refs["o_dens"])
+
+
+def _dens_chunk_outs(dens_keys, counts_p, vma):
+    """(out_specs, out_shapes) for per-type (n/CH, CH) VMEM chunk grids."""
+    per_type = dict(zip("sao", counts_p))
+    specs, shapes = [], []
+    for k in dens_keys:
+        nck = per_type[k[0]] // DENS_CHUNK
+        specs.append(pl.BlockSpec((nck, DENS_CHUNK), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        shapes.append(jax.ShapeDtypeStruct((nck, DENS_CHUNK), jnp.float32,
+                                           vma=vma))
+    return specs, shapes
+
+
+def _unpack_dens_chunks(dens_keys, outs, counts):
+    """(n/CH, CH) chunk grids -> [n_type] grads at the UNPADDED counts."""
+    per_type = dict(zip("sao", counts))
+    return {k: out.reshape(-1)[:per_type[k[0]]]
+            for k, out in zip(dens_keys, outs)}
 
 
 def run_multi_chord_dens_bwd(prim_fields: dict, counts, o, dirs, skips,
@@ -841,6 +939,7 @@ def run_multi_chord_dens_bwd(prim_fields: dict, counts, o, dirs, skips,
     R = o.shape[0]
     S = len(dirs)
     rp = _round_block(R)
+    prim_fields, counts_p = _pad_prims_to_chunks(prim_fields, counts)
     names = list(prim_fields.keys())
     dens_keys = [k for k in names if k.endswith("_dens")]
 
@@ -856,22 +955,22 @@ def run_multi_chord_dens_bwd(prim_fields: dict, counts, o, dirs, skips,
         rays.append(_pad_rays(gbar[:, s], rp))  # zero-padded: contributes 0
 
     all_names = ray_names + names
-    kernel = functools.partial(multi_chord_dens_bwd_kernel, counts,
+    kernel = functools.partial(multi_chord_dens_bwd_kernel, counts_p,
                                tuple(skips), all_names, dens_keys)
     vma = _out_vma(rays, list(prim_fields.values()))
-    dens_out = [jax.ShapeDtypeStruct(prim_fields[k].shape, jnp.float32,
-                                     vma=vma)
-                for k in dens_keys]
+    dens_specs, dens_out = _dens_chunk_outs(dens_keys, counts_p, vma)
     outs = pl.pallas_call(
         kernel,
         grid=_grid(rp),
         in_specs=([_ray_spec()] * len(rays)
                   + [_prim_spec()] * len(prim_fields)),
-        out_specs=[_prim_spec()] * len(dens_keys),
+        out_specs=dens_specs,
         out_shape=dens_out,
+        scratch_shapes=[pltpu.VMEM((DENS_CHUNK, ROWS, RAY_COLS),
+                                   jnp.float32)],
         interpret=interpret,
     )(*rays, *prim_fields.values())
-    return dict(zip(dens_keys, outs))
+    return _unpack_dens_chunks(dens_keys, outs, counts)
 
 
 def run_multi_chord_bwd(prim_fields: dict, counts, o, dirs, skips, gbar,
@@ -882,6 +981,7 @@ def run_multi_chord_bwd(prim_fields: dict, counts, o, dirs, skips, gbar,
     R = o.shape[0]
     S = len(dirs)
     rp = _round_block(R)
+    prim_fields, counts_p = _pad_prims_to_chunks(prim_fields, counts)
     names = list(prim_fields.keys())
     dens_keys = [k for k in names if k.endswith("_dens")]
 
@@ -897,24 +997,24 @@ def run_multi_chord_bwd(prim_fields: dict, counts, o, dirs, skips, gbar,
         rays.append(_pad_rays(gbar[:, s], rp))  # zero-padded: contributes 0
 
     all_names = ray_names + names
-    kernel = functools.partial(multi_chord_bwd_kernel, counts, tuple(skips),
-                               all_names, dens_keys)
+    kernel = functools.partial(multi_chord_bwd_kernel, counts_p,
+                               tuple(skips), all_names, dens_keys)
     vma = _out_vma(rays, list(prim_fields.values()))
     n_ray_outs = 3 + 3 * S
-    dens_out = [jax.ShapeDtypeStruct(prim_fields[k].shape, jnp.float32,
-                                     vma=vma)
-                for k in dens_keys]
+    dens_specs, dens_out = _dens_chunk_outs(dens_keys, counts_p, vma)
     outs = pl.pallas_call(
         kernel,
         grid=_grid(rp),
         in_specs=([_ray_spec()] * len(rays)
                   + [_prim_spec()] * len(prim_fields)),
-        out_specs=[_ray_spec()] * n_ray_outs + [_prim_spec()] * len(dens_keys),
+        out_specs=[_ray_spec()] * n_ray_outs + dens_specs,
         out_shape=[_ray_out(rp, jnp.float32, vma)] * n_ray_outs + dens_out,
+        scratch_shapes=[pltpu.VMEM((DENS_CHUNK, ROWS, RAY_COLS),
+                                   jnp.float32)],
         interpret=interpret,
     )(*rays, *prim_fields.values())
     d_o = jnp.stack([_unpack_rays(outs[i], R) for i in range(3)], axis=-1)
     d_dirs = [jnp.stack([_unpack_rays(outs[3 + 3 * s + a], R)
                          for a in range(3)], axis=-1) for s in range(S)]
-    dens_grads = dict(zip(dens_keys, outs[n_ray_outs:]))
+    dens_grads = _unpack_dens_chunks(dens_keys, outs[n_ray_outs:], counts)
     return d_o, d_dirs, dens_grads

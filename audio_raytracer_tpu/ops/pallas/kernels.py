@@ -57,17 +57,31 @@ round-3 state ~1123 ms fwd = 934k rays/s, kernels ~=91% of step time):
   300-life (1133 -> 1066 ms). Do NOT reduce the in-loop muffle counts
   with segment_sum: the [R]->[B] scatter-add serializes on TPU
   (~9 ms/bounce measured); use a plain sum (B=1) or one-hot matmul.
+- Chord adjoints, phase-split density accumulation (round 5): a
+  cross-lane ``jnp.sum`` INSIDE the primitive loop stalls Mosaic's
+  software pipeline once per iteration — per-iteration, not
+  per-reduce (cutting 4 reduces/prim to 1 by lane-reassociation
+  bought ~2%; removing the reduce entirely halved the stream: AABB
+  dens stream 137 -> 71 ms). Both adjoint kernels therefore stage
+  each primitive's per-lane density cotangent into a VMEM scratch
+  chunk (fused.DENS_CHUNK = 64 prims x one block, 1 MB) and reduce
+  per chunk in one vectorized op. Measured at the headline (device
+  times net of the ~30 ms dispatch round trip): density-only adjoint
+  299 -> 160 ms — now EQUAL to the chord forward, i.e. the reduction
+  is free; full pose-grad adjoint 579 -> 470 ms. Step-level: fwd_bwd
+  1563 -> 1417 ms (740k rays/s), posegrads 1871 -> 1737 ms.
 - Full pose-grad chord adjoint (fused.run_multi_chord_bwd), measured
-  decomposition of the 1,840-1,955 ms posegrads step at the headline:
-  783 ms in-loop occlusion kernels + 236 closest-hit + 548 chord
-  adjoint + 133 chord forward (linearization) + ~100 XLA fusions.
-  The 548 ms adjoint vs 271 density-only is a measured floor for this
-  architecture: the 3+3S ray-cotangent accumulator arrays (15 at S=4,
-  ~60 vregs in (8,512) blocks) push past the register file — marginal
-  per-set cost measured superlinear (set 2: +76 ms; sets 3-4:
-  +125 ms/set) — but SPLITTING loses outright because each split
+  decomposition of the posegrads step at the headline (pre-phase-split
+  round-4 numbers in parens): 783 ms in-loop occlusion kernels + 236
+  closest-hit + 440 (548) chord adjoint + 133 chord forward
+  (linearization) + ~100 XLA fusions. The remaining adjoint-vs-dens
+  gap (440 vs 160) is the 3+3S ray-cotangent accumulator arrays (15
+  at S=4, ~60 vregs in (8,512) blocks) pushing past the register file
+  — marginal per-set cost measured superlinear (set 2: +76 ms; sets
+  3-4: +125 ms/set) — but SPLITTING loses outright because each split
   kernel re-pays the ~150 ms base primitive stream: 4 x S=1 kernels
-  ~888 ms, 2 x S=2 ~596 ms, vs 548 fused. Don't re-try the split.
+  ~888 ms, 2 x S=2 ~596 ms, vs the fused adjoint. Don't re-try the
+  split.
   Also measured: the fwd+bwd step is RAY-LIFE-INDEPENDENT (1568 ms at
   maxRayLife 300 vs 1569 at 125) — the life-independent chord forward
   + adjoint + linearization dominate, so the early-death work savings
