@@ -93,6 +93,11 @@ def test_gradient_shape_edges():
         (0, 10, 0, 2, 65, 2),   # AABB-only, odd rays
         (5, 0, 3, 1, 40, 2),    # no AABBs
         (1, 1, 1, 3, 96, 3),    # single prim each
+        # DENS_CHUNK (64) boundary edges of the phase-split adjoint:
+        # one exact full chunk, and counts one past the boundary
+        # (65 -> 2 chunks with 63 guaranteed-miss pad slots).
+        (0, 64, 0, 1, 40, 1),   # exactly one full chunk
+        (65, 3, 2, 2, 48, 2),   # sphere stream crosses the boundary
     ]
     for i, (ns, na, no, T, R, B) in enumerate(grad_cases):
         scene = random_scene(jax.random.key(200 + i), num_spheres=ns,
@@ -153,3 +158,43 @@ def test_dens_only_adjoint_matches_full_for_materials():
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dens)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_pose_grads_across_chunk_boundary():
+    """FULL pose-grad adjoint (ray cotangents carried through the
+    phase-split chunk loops) vs dense autodiff with a primitive stream
+    that crosses the DENS_CHUNK (64) boundary — guards the carry
+    threading of fused.multi_chord_bwd_kernel's chunked _stream."""
+    from audio_raytracer_tpu.models.differentiable import (
+        Loudness,
+        SceneParams,
+        loudness_loss,
+    )
+    from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+    scene = random_scene(jax.random.key(88), num_spheres=3, num_aabbs=70,
+                         num_obbs=2, num_targets=2, extent=15.0,
+                         size_range=(1.5, 4.0))
+    cfg = TraceConfig(ray_count=48, max_bounces=2, max_ray_life=90.0)
+    dirs = fibonacci_directions(48)
+    params = SceneParams.from_scene(scene)
+    target = Loudness(muffle=jnp.full((2,), 0.4),
+                      permeation=jnp.full((2,), 0.3),
+                      reverb_energy=jnp.asarray(0.1))
+
+    def loss(params, origin):
+        return loudness_loss(
+            params, scene, origin, dirs, cfg, target,
+            backend_fn=lambda s: make_pallas_backend(
+                s, interpret=True, differentiable=True, pose_grads=True))
+
+    origin = jnp.asarray([0.2, 0.1, -0.3])
+    g_p, g_o = jax.grad(loss, argnums=(0, 1))(params, origin)
+    g_p_ref, g_o_ref = jax.grad(
+        lambda p, o: loudness_loss(p, scene, o, dirs, cfg, target),
+        argnums=(0, 1))(params, origin)
+    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_o_ref),
+                               rtol=5e-4, atol=5e-6)
+    for a, b in zip(jax.tree.leaves(g_p_ref), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)

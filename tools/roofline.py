@@ -44,6 +44,11 @@ P = 4096
 OPS_CLOSEST = 48.5     # sphere 35 / aabb 32 / obb 95
 OPS_OCCL5 = 198.5      # sphere 134 / aabb 139 / obb 382 (S=5)
 OPS_CHORD4 = 156.25    # sphere 97 / aabb 110 / obb 308 (S=4)
+# Density-only chord adjoint: recomputes the forward chords and swaps
+# the forward's (where*dens, acc+) accumulate for (where*g, acc+) — the
+# op count per (pair, set) is identical to the forward's; the per-chunk
+# phase-split reduction adds ~1/DENS_CHUNK per pair (negligible).
+OPS_DENS_BWD4 = 156.25
 
 
 def _drain(x):
@@ -181,6 +186,10 @@ def participation():
 def standalone(scene, dirs, rt):
     from audio_raytracer_tpu.ops.backend import NO_SKIP
     from audio_raytracer_tpu.ops.pallas import PallasBackend
+    from audio_raytracer_tpu.ops.pallas.fused import (
+        run_multi_chord_bwd,
+        run_multi_chord_dens_bwd,
+    )
 
     be = PallasBackend(scene)
     o = jax.random.uniform(jax.random.key(1), (R, 3), minval=-50,
@@ -189,6 +198,7 @@ def standalone(scene, dirs, rt):
                       for i in range(4)]
     limits = jnp.full((R, 5), 80.0)
     init = jnp.zeros((R, 5), bool)
+    gbar = jnp.abs(jax.random.normal(jax.random.key(2), (R, 4))) * 1e-3
 
     @jax.jit
     def f_cl(o):
@@ -205,13 +215,28 @@ def standalone(scene, dirs, rt):
         return jnp.sum(be.multi_permeation_loss(
             o, dirs5[1:], (0, 1, 2, 3)))
 
+    @jax.jit
+    def f_dens(o):
+        out = run_multi_chord_dens_bwd(be._fields, be.counts, o,
+                                       dirs5[1:], (0, 1, 2, 3), gbar)
+        return sum(jnp.sum(v) for v in out.values())
+
+    @jax.jit
+    def f_full(o):
+        d_o, _, dens = run_multi_chord_bwd(be._fields, be.counts, o,
+                                           dirs5[1:], (0, 1, 2, 3), gbar)
+        return jnp.sum(d_o) + sum(jnp.sum(v) for v in dens.values())
+
     pairs = R * P
     for name, fn, ops in (("closest", f_cl, OPS_CLOSEST),
                           ("occl S=5", f_occ, OPS_OCCL5),
-                          ("chord S=4", f_ch, OPS_CHORD4)):
+                          ("chord S=4", f_ch, OPS_CHORD4),
+                          ("dens-bwd S=4", f_dens, OPS_DENS_BWD4),
+                          ("full-bwd S=4", f_full, None)):
         dev = _med(fn, o) - rt
-        print(f"{name}: {dev*1e3:6.1f} ms device  "
-              f"{pairs*ops/dev/1e12:.2f} T primitive-ops/s achieved")
+        rate = (f"{pairs*ops/dev/1e12:.2f} T primitive-ops/s achieved"
+                if ops else "(ray-cotangent adjoint; no static count)")
+        print(f"{name}: {dev*1e3:6.1f} ms device  {rate}")
 
 
 def floors(ceil, sweeps):
@@ -222,6 +247,15 @@ def floors(ceil, sweeps):
         ops = pairs * (s * (OPS_CLOSEST + OPS_OCCL5) + OPS_CHORD4)
         print(f"{label}: counted {ops/1e12:.2f}e12 ops -> floor "
               f"{ops/ceil*1e3:.0f} ms at {ceil/1e12:.2f} T/s")
+    # fwd+bwd (materials): the training path runs uncompacted (measured
+    # ray-life-independent), so closest/occl sweep at participation 1.0
+    # x 5 bounces; + one chord forward (custom_vjp primal/linearization)
+    # + the density-only adjoint. The lax.scan transpose / XLA fusion
+    # residue (~140 ms measured) is outside the counted-kernel floor.
+    ops = pairs * (5 * (OPS_CLOSEST + OPS_OCCL5) + OPS_CHORD4
+                   + OPS_DENS_BWD4)
+    print(f"fwd+bwd (materials): counted {ops/1e12:.2f}e12 ops -> "
+          f"kernel floor {ops/ceil*1e3:.0f} ms at {ceil/1e12:.2f} T/s")
 
 
 def main():
