@@ -154,12 +154,16 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0, e0))
 
-    # Shallow bounce loops unroll (same policy + measured ~1% win as
-    # ops/trace.py): the unrolled linearization also tightens the
-    # backward-scan residue's run-to-run spread at the 1M headline.
+    # Shallow bounce loops unroll ON DEVICE (same policy + measured ~1%
+    # win as ops/trace.py — the unrolled linearization also tightens
+    # the backward-scan residue's run-to-run spread at the 1M
+    # headline); rolled on the CPU backend, where the H-times-larger
+    # differentiated programs flakily segfault XLA's CPU compiler in
+    # long-lived test processes (see ops/trace.py).
     _, (t_all, echo_v, echo_w, muffle_c) = jax.lax.scan(
         bounce, (o0, directions, life0, alive0, e0), jnp.arange(H),
-        length=H, unroll=H if H <= 8 else 1)
+        length=H,
+        unroll=H if (H <= 8 and jax.default_backend() != "cpu") else 1)
 
     # Permeation (differentiable, per-ray mean — no overwrite quirk here).
     # The primary-ray first hit is the scan's bounce-0 distance: no second
@@ -211,6 +215,25 @@ def loudness_map(origin: Array, directions: Array, scene: Scene,
 # ---------------------------------------------------------------------------
 
 
+def _make_backend_fn(backend: str, pose_grads: bool):
+    """Resolve a backend name to a scene -> engine factory for the
+    differentiable train/recovery steps: None for "jnp" (XLA dense),
+    else the custom-VJP kernel tier (``pose_grads`` selects the full
+    ray-cotangent adjoint over the cheap density-only one)."""
+    if backend == "jnp":
+        return None
+    if backend not in ("pallas", "pallas_interpret"):
+        raise ValueError(f"unknown backend {backend!r}")
+    from audio_raytracer_tpu.ops.pallas import make_pallas_backend
+
+    def backend_fn(s):
+        return make_pallas_backend(
+            s, interpret=(backend == "pallas_interpret"),
+            differentiable=True, pose_grads=pose_grads)
+
+    return backend_fn
+
+
 def _loudness_mse(pred: Loudness, target: Loudness) -> Array:
     loss = (jnp.mean((pred.muffle - target.muffle) ** 2)
             + jnp.mean((pred.permeation - target.permeation) ** 2)
@@ -240,17 +263,7 @@ def make_train_step(cfg: TraceConfig, optimizer=None,
     ``pose_grads`` when the loss also differentiates w.r.t. poses)."""
     if optimizer is None:
         optimizer = optax.adam(1e-2)
-
-    backend_fn = None
-    if backend in ("pallas", "pallas_interpret"):
-        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
-
-        def backend_fn(s):
-            return make_pallas_backend(
-                s, interpret=(backend == "pallas_interpret"),
-                differentiable=True, pose_grads=pose_grads)
-    elif backend != "jnp":
-        raise ValueError(f"unknown backend {backend!r}")
+    backend_fn = _make_backend_fn(backend, pose_grads=pose_grads)
 
     @jax.jit
     def train_step(params, opt_state, scene, origin, directions, target):
@@ -309,17 +322,7 @@ def make_pose_recovery_step(cfg: TraceConfig, optimizer=None,
     hand-closed adjoint — ray cotangents + rotation pullbacks)."""
     if optimizer is None:
         optimizer = optax.adam(1e-2)
-
-    backend_fn = None
-    if backend in ("pallas", "pallas_interpret"):
-        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
-
-        def backend_fn(s):
-            return make_pallas_backend(
-                s, interpret=(backend == "pallas_interpret"),
-                differentiable=True, pose_grads=True)
-    elif backend != "jnp":
-        raise ValueError(f"unknown backend {backend!r}")
+    backend_fn = _make_backend_fn(backend, pose_grads=True)
 
     @jax.jit
     def step(pose, opt_state, scene, directions, target):
@@ -367,17 +370,7 @@ def make_source_recovery_step(cfg: TraceConfig, num_listeners: int,
     """
     if optimizer is None:
         optimizer = optax.adam(1e-2)
-
-    backend_fn = None
-    if backend in ("pallas", "pallas_interpret"):
-        from audio_raytracer_tpu.ops.pallas import make_pallas_backend
-
-        def backend_fn(s):
-            return make_pallas_backend(
-                s, interpret=(backend == "pallas_interpret"),
-                differentiable=True, pose_grads=True)
-    elif backend != "jnp":
-        raise ValueError(f"unknown backend {backend!r}")
+    backend_fn = _make_backend_fn(backend, pose_grads=True)
 
     def multi_loss(tp, scene, origins, directions, recordings):
         scene_p = dataclasses.replace(scene, target_positions=tp)

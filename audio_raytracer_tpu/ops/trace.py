@@ -332,12 +332,17 @@ def trace(origin: Array, directions: Array, scene: Scene, cfg: TraceConfig,
             jax.lax.pcast(x, pvary_axes, to="varying")
             for x in (o0, life0, alive0))
 
-    # Unroll shallow bounce loops: at the default depths (H <= 8) the
-    # unrolled program lets XLA schedule across bounce boundaries
-    # (measured ~1% faster with a visibly tighter spread at the 1M x 4K
-    # headline, fwd AND fwd+bwd); deeper configs (the reference allows
-    # 26 hits/ray) keep the rolled scan to bound compile size.
-    unroll = H if H <= 8 else 1
+    # Unroll shallow bounce loops ON DEVICE only: at the default depths
+    # (H <= 8) the unrolled program lets XLA schedule across bounce
+    # boundaries (measured ~1% faster with a visibly tighter spread at
+    # the 1M x 4K headline, fwd AND fwd+bwd); deeper configs (the
+    # reference allows 26 hits/ray) keep the rolled scan to bound
+    # compile size. On the CPU backend the scan stays ROLLED: the win
+    # is TPU-measured only, and H-times-larger programs (with
+    # interpret-mode pallas calls inlined per bounce) flakily segfault
+    # XLA's CPU compiler in long-lived test processes (observed thrice
+    # in full-suite runs, never with rolled scans).
+    unroll = H if (H <= 8 and jax.default_backend() != "cpu") else 1
 
     def scan_bounces(carry0):
         """Scan all H bounces; with compaction on, bounce 0 runs OUTSIDE
