@@ -66,11 +66,6 @@ def _oracle_gate(scene, cfg, backend="jnp", gate_rays=None):
 
     origin = jnp.zeros((3,), jnp.float32)
     dirs = fibonacci_directions(cfg.ray_count)
-    result, settings = jax.jit(
-        lambda o, d, s: forward(o, d, s, cfg, collect_debug=True,
-                                backend=backend))(origin, dirs, scene)
-    jax.block_until_ready(settings.muffle)
-
     if gate_rays is None or gate_rays >= cfg.ray_count:
         gate_cfg, gate_dirs = cfg, dirs
         sub = slice(None)
@@ -78,15 +73,16 @@ def _oracle_gate(scene, cfg, backend="jnp", gate_rays=None):
         # Oracle subsample: per-ray semantics are independent of the
         # ray budget except through the accumulator reduction, so the
         # per-ray gates (echo rows, hit counts) compare a prefix of
-        # rays, and the reduction gates re-run the framework at the
-        # subsample size for an apples-to-apples [B,T] comparison.
+        # rays, and the reduction gates run the framework at the
+        # subsample size for an apples-to-apples [B,T] comparison (the
+        # caller executes the full-size workload itself — config_2).
         gate_cfg = dataclasses.replace(cfg, ray_count=gate_rays)
         gate_dirs = dirs[:gate_rays]
         sub = slice(0, gate_rays)
-        result, settings = jax.jit(
-            lambda o, d, s: forward(o, d, s, gate_cfg, collect_debug=True,
-                                    backend=backend))(origin, gate_dirs,
-                                                      scene)
+    result, settings = jax.jit(
+        lambda o, d, s: forward(o, d, s, gate_cfg, collect_debug=True,
+                                backend=backend))(origin, gate_dirs, scene)
+    jax.block_until_ready(settings.muffle)
 
     osc = oracle.from_scene(scene)
     otr = oracle.oracle_trace(

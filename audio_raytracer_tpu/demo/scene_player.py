@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import wave
@@ -93,8 +94,8 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
             from audio_raytracer_tpu.demo.visualize import plot_trace
 
             base = viz_path or "frame.png"
-            root, dot, ext = base.rpartition(".")
-            out = f"{root or ext}_{f:04d}.{ext if dot else 'png'}"
+            root, ext = os.path.splitext(base)
+            out = f"{root}_{f:04d}{ext or '.png'}"
             plot_trace(loaded, out, rays=min(loaded.cfg.ray_count, 256),
                        backend=backend, listener=pos)
             if verbose:

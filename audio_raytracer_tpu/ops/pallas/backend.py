@@ -197,8 +197,20 @@ class PallasBackend:
             f"PallasBackend.smem_bytes field counts are stale: actual "
             f"{smem_bytes} B vs predicted {self.smem_bytes(ns, na, no)} B "
             f"for counts {self.counts}")
+        if differentiable:
+            # The chord adjoint kernels pad each type stream up to a
+            # DENS_CHUNK multiple (fused._pad_prims_to_chunks), so the
+            # gradient path streams slightly more SMEM than the raw
+            # field dict — budget-check the padded counts so a
+            # near-budget scene cannot pass init and fail (or exceed
+            # the guaranteed fit) only when the backward runs.
+            ck = [-(-n // F.DENS_CHUNK) * F.DENS_CHUNK if n else 0
+                  for n in (ns, na, no)]
+            smem_bytes = max(smem_bytes, self.smem_bytes(*ck))
         assert smem_bytes <= K.SMEM_BYTES, (
-            f"primitive fields ({smem_bytes} B) exceed the SMEM budget "
+            f"primitive fields ({smem_bytes} B"
+            f"{', incl. adjoint chunk padding' if differentiable else ''})"
+            f" exceed the SMEM budget "
             f"({K.SMEM_BYTES} B); use ops.pallas.make_pallas_backend "
             f"(single-chip HBM chunk streaming, ChunkedPallasBackend) or "
             f"shard the primitive axis (parallel.mesh / "
