@@ -33,7 +33,7 @@ from audio_raytracer_tpu.types import (
 )
 from audio_raytracer_tpu.ops.fibonacci import fibonacci_directions
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Materials",
