@@ -96,6 +96,8 @@ def simulate(loaded, frames=60, dt=1.0 / 60.0, backend="jnp",
             base = viz_path or "frame.png"
             root, ext = os.path.splitext(base)
             out = f"{root}_{f:04d}{ext or '.png'}"
+            if os.path.dirname(out):
+                os.makedirs(os.path.dirname(out), exist_ok=True)
             plot_trace(loaded, out, rays=min(loaded.cfg.ray_count, 256),
                        backend=backend, listener=pos)
             if verbose:
